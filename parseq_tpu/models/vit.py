@@ -1,0 +1,121 @@
+"""Vision Transformer encoder, TPU-first.
+
+Re-designs the reference encoder (timm VisionTransformer subclass with no
+class token / no pooling, /root/reference/strhub/models/parseq/modules.py:128-165)
+as pure functions:
+
+  * Patch embedding is a single reshaped matmul (a stride==kernel Conv2d is
+    exactly a matmul over flattened patches) — maps straight onto the MXU
+    instead of going through a conv lowering.
+  * Transformer blocks are parameter-stacked and traversed with `lax.scan`,
+    which keeps compile time flat in depth and produces one fused block body.
+  * Images are NHWC (TPU-native layout); the torch converter transposes.
+
+Matches timm ViT forward_features semantics: patch_embed -> +pos_embed ->
+blocks (pre-LN: x += attn(ln(x)); x += mlp(ln(x))) -> final LayerNorm.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.ops import layers
+from parseq_tpu.ops.layers import layer_norm, linear, mha, mlp
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: tuple[int, int] = (32, 128)  # (H, W)
+    patch_size: tuple[int, int] = (4, 8)  # (ph, pw)
+    in_chans: int = 3
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+
+    @property
+    def grid_size(self) -> tuple[int, int]:
+        return (self.img_size[0] // self.patch_size[0], self.img_size[1] // self.patch_size[1])
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+
+def _block_init(key, cfg: ViTConfig):
+    d = cfg.embed_dim
+    ks = layers.split_rngs(key, ['qkv', 'proj', 'mlp'])
+    # timm Attention packs qkv in one linear; we keep separate q/k/v (split on
+    # conversion). timm init: qkv/proj/mlp all trunc_normal(0.02) via init_weights_vit_timm.
+    def tn(k, shape):
+        return layers.trunc_normal(k, shape, 0.02)
+
+    kq, kk, kv = jax.random.split(ks['qkv'], 3)
+    return {
+        'norm1': layers.layer_norm_init(d),
+        'attn': {
+            'q': {'w': tn(kq, (d, d)), 'b': jnp.zeros((d,))},
+            'k': {'w': tn(kk, (d, d)), 'b': jnp.zeros((d,))},
+            'v': {'w': tn(kv, (d, d)), 'b': jnp.zeros((d,))},
+            'out': {'w': tn(ks['proj'], (d, d)), 'b': jnp.zeros((d,))},
+        },
+        'norm2': layers.layer_norm_init(d),
+        'mlp': layers.mlp_init(ks['mlp'], d, int(d * cfg.mlp_ratio)),
+    }
+
+
+def init(key, cfg: ViTConfig):
+    ks = layers.split_rngs(key, ['patch', 'pos', 'blocks'])
+    ph, pw = cfg.patch_size
+    patch_dim = ph * pw * cfg.in_chans
+    block_keys = jax.random.split(ks['blocks'], cfg.depth)
+    # Stack per-layer params along a leading depth axis for lax.scan.
+    blocks = jax.vmap(lambda k: _block_init(k, cfg))(block_keys)
+    return {
+        'patch_embed': {
+            # timm PatchEmbed conv: kaiming-ish default; trunc_normal is fine
+            # for from-scratch training (converted weights overwrite it anyway).
+            'w': layers.trunc_normal(ks['patch'], (patch_dim, cfg.embed_dim), 0.02),
+            'b': jnp.zeros((cfg.embed_dim,)),
+        },
+        'pos_embed': layers.trunc_normal(ks['pos'], (1, cfg.num_patches, cfg.embed_dim), 0.02),
+        'blocks': blocks,
+        'norm': layers.layer_norm_init(cfg.embed_dim),
+    }
+
+
+def patch_embed(p, images, cfg: ViTConfig):
+    """images: (B, H, W, C) -> tokens (B, N, D) via one matmul.
+
+    Patch pixels are flattened in (ph, pw, C) order; the torch converter
+    permutes Conv2d weight (D, C, ph, pw) -> (ph, pw, C, D) to match.
+    """
+    B, H, W, C = images.shape
+    ph, pw = cfg.patch_size
+    gh, gw = H // ph, W // pw
+    x = images.reshape(B, gh, ph, gw, pw, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ph * pw * C)
+    return linear(p, x)
+
+
+def block_apply(p, x, num_heads):
+    h = layer_norm(p['norm1'], x)
+    x = x + mha(p['attn'], h, h, h, num_heads=num_heads)
+    x = x + mlp(p['mlp'], layer_norm(p['norm2'], x))
+    return x
+
+
+def apply(params, images, cfg: ViTConfig):
+    """images (B, H, W, C) -> memory tokens (B, N, D), final-LN applied."""
+    x = patch_embed(params['patch_embed'], images, cfg)
+    x = x + params['pos_embed'].astype(x.dtype)
+
+    def body(x, block_params):
+        return block_apply(block_params, x, cfg.num_heads), None
+
+    x, _ = jax.lax.scan(body, x, params['blocks'])
+    return layer_norm(params['norm'], x)
