@@ -1,0 +1,424 @@
+"""PARSeq: Permuted Autoregressive Sequence model, TPU-first.
+
+Re-design of the reference PARSeq (/root/reference/strhub/models/parseq/
+model.py:31-169, modules.py:27-126, system.py:90-200) as pure functions with
+static shapes:
+
+  * AR decoding is a `lax.scan` over ``max_label_length + 1`` steps (the
+    reference's Python loop + early break, model.py:124-145, becomes a
+    fixed-trip scan; predictions are identical because the tokenizer
+    truncates at the first EOS either way).
+  * Permutation attention masks are built vectorized from the inverse
+    permutation (one comparison matrix) instead of the reference's Python
+    O(L^2) loop (system.py:153-167), and the multi-permutation training
+    loss vmaps the decoder over the permutation axis.
+  * Everything is mask-driven; no data-dependent shapes anywhere.
+
+Two-stream decoder layer (XLNet-style, pre-LN) semantics match
+modules.py:27-98: query stream attends over the content stream; content
+stream is updated by every layer except the last.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.ops import layers
+from parseq_tpu.ops.layers import NEG_INF, dropout, layer_norm, linear, mha
+from parseq_tpu.models import vit
+from parseq_tpu.models.vit import ViTConfig
+
+
+@dataclass(frozen=True)
+class PARSeqConfig:
+    num_tokens: int = 97  # len(charset) + 3 specials (EOS/BOS/PAD)
+    max_label_length: int = 25
+    img_size: tuple[int, int] = (32, 128)
+    patch_size: tuple[int, int] = (4, 8)
+    embed_dim: int = 384
+    enc_num_heads: int = 6
+    enc_mlp_ratio: float = 4.0
+    enc_depth: int = 12
+    dec_num_heads: int = 12
+    dec_mlp_ratio: float = 4.0
+    dec_depth: int = 1
+    decode_ar: bool = True
+    refine_iters: int = 1
+    dropout: float = 0.1
+
+    # Training-time permutation settings (system.py:81-85)
+    perm_num: int = 6
+    perm_forward: bool = True
+    perm_mirrored: bool = True
+
+    @property
+    def vit(self) -> ViTConfig:
+        return ViTConfig(
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            depth=self.enc_depth,
+            num_heads=self.enc_num_heads,
+            mlp_ratio=self.enc_mlp_ratio,
+        )
+
+    @property
+    def num_steps(self) -> int:
+        return self.max_label_length + 1  # +1 for EOS
+
+    @property
+    def num_classes(self) -> int:
+        return self.num_tokens - 2  # BOS and PAD are never predicted
+
+    # Token ids (fixed layout, data/tokenizer.py)
+    @property
+    def eos_id(self) -> int:
+        return 0
+
+    @property
+    def bos_id(self) -> int:
+        return self.num_tokens - 2
+
+    @property
+    def pad_id(self) -> int:
+        return self.num_tokens - 1
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _decoder_layer_init(key, cfg: PARSeqConfig):
+    d = cfg.embed_dim
+    dff = int(d * cfg.dec_mlp_ratio)
+    ks = layers.split_rngs(key, ['self_attn', 'cross_attn', 'linear1', 'linear2'])
+    return {
+        'self_attn': layers.mha_init(ks['self_attn'], d),
+        'cross_attn': layers.mha_init(ks['cross_attn'], d),
+        'linear1': layers.linear_init(ks['linear1'], d, dff),
+        'linear2': layers.linear_init(ks['linear2'], dff, d),
+        'norm1': layers.layer_norm_init(d),
+        'norm2': layers.layer_norm_init(d),
+        'norm_q': layers.layer_norm_init(d),
+        'norm_c': layers.layer_norm_init(d),
+    }
+
+
+def init(key, cfg: PARSeqConfig):
+    ks = layers.split_rngs(key, ['encoder', 'decoder', 'head', 'text_embed', 'pos_queries'])
+    dec_keys = jax.random.split(ks['decoder'], cfg.dec_depth)
+    return {
+        'encoder': vit.init(ks['encoder'], cfg.vit),
+        'decoder': {
+            'layers': [_decoder_layer_init(k, cfg) for k in dec_keys],
+            'norm': layers.layer_norm_init(cfg.embed_dim),
+        },
+        'head': layers.linear_init(ks['head'], cfg.embed_dim, cfg.num_classes),
+        'text_embed': layers.embedding_init(ks['text_embed'], cfg.num_tokens, cfg.embed_dim),
+        'pos_queries': layers.trunc_normal(ks['pos_queries'], (1, cfg.num_steps, cfg.embed_dim), 0.02),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _forward_stream(p, tgt, tgt_norm, tgt_kv, memory, bias, key_padding_mask, *, nhead, drop, rngs):
+    """One stream of the two-stream layer (modules.py:55-79)."""
+    sa = mha(p['self_attn'], tgt_norm, tgt_kv, tgt_kv, num_heads=nhead,
+             attn_bias=bias, key_padding_mask=key_padding_mask,
+             dropout_rate=drop, rng=rngs[0])
+    tgt = tgt + dropout(sa, drop, rngs[1])
+    ca = mha(p['cross_attn'], layer_norm(p['norm1'], tgt), memory, memory,
+             num_heads=nhead, dropout_rate=drop, rng=rngs[2])
+    tgt = tgt + dropout(ca, drop, rngs[3])
+    h = layers.gelu(linear(p['linear1'], layer_norm(p['norm2'], tgt)))
+    h = linear(p['linear2'], dropout(h, drop, rngs[4]))
+    return tgt + dropout(h, drop, rngs[5])
+
+
+def _rng_list(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def decoder_apply(p, query, content, memory, *, query_bias=None, content_bias=None,
+                  padding_mask=None, nhead, drop=0.0, rng=None):
+    """Stack of two-stream layers; content updated by all but the last layer
+    (modules.py:119-123). Final LayerNorm on the query stream."""
+    n_layers = len(p['layers'])
+    rngs = _rng_list(rng, n_layers * 12)
+    for i, lp in enumerate(p['layers']):
+        last = i == n_layers - 1
+        r = rngs[i * 12 : (i + 1) * 12]
+        query_norm = layer_norm(lp['norm_q'], query)
+        content_norm = layer_norm(lp['norm_c'], content)
+        query = _forward_stream(lp, query, query_norm, content_norm, memory,
+                                query_bias, padding_mask, nhead=nhead, drop=drop, rngs=r[:6])
+        if not last:
+            content = _forward_stream(lp, content, content_norm, content_norm, memory,
+                                      content_bias, padding_mask, nhead=nhead, drop=drop, rngs=r[6:])
+    return layer_norm(p['norm'], query)
+
+
+def embed_context(params, cfg: PARSeqConfig, tgt_ids, dtype, *, drop=0.0, rng=None):
+    """Context (content-stream) embeddings for token ids (model.py:94-99).
+
+    BOS (position 0) is the null context and carries no positional info;
+    tokens after it get pos_queries[k-1] added. Token embeddings are scaled
+    by sqrt(embed_dim) (modules.py:168-176).
+    """
+    scale = math.sqrt(cfg.embed_dim)
+    emb = scale * layers.embedding(params['text_embed'], tgt_ids, dtype)
+    L = tgt_ids.shape[1]
+    pos = params['pos_queries'][:, : L - 1].astype(dtype)
+    emb = emb.at[:, 1:].add(pos) if L > 1 else emb
+    return dropout(emb, drop, rng)
+
+
+def decode(params, cfg: PARSeqConfig, tgt_ids, memory, *, query=None, query_bias=None,
+           content_bias=None, padding_mask=None, dtype=jnp.float32, drop=0.0, rng=None):
+    """model.py:86-103: embed context, default query = pos_queries, run decoder."""
+    r = _rng_list(rng, 3)
+    content = embed_context(params, cfg, tgt_ids, dtype, drop=drop, rng=r[0])
+    if query is None:
+        B, L = tgt_ids.shape
+        query = jnp.broadcast_to(params['pos_queries'][:, :L].astype(dtype), (B, L, cfg.embed_dim))
+    query = dropout(query, drop, rng=r[1])
+    return decoder_apply(params['decoder'], query, content, memory,
+                         query_bias=query_bias, content_bias=content_bias,
+                         padding_mask=padding_mask, nhead=cfg.dec_num_heads,
+                         drop=drop, rng=r[2])
+
+
+def head(params, x):
+    return linear(params['head'], x)
+
+
+def encode(params, cfg: PARSeqConfig, images):
+    return vit.apply(params['encoder'], images, cfg.vit)
+
+
+# ---------------------------------------------------------------------------
+# Inference (model.py:105-169)
+# ---------------------------------------------------------------------------
+
+
+def _causal_bias(n, dtype=jnp.float32):
+    """Forward-AR bias: query i may see keys <= i (triu(1) masked)."""
+    r = jnp.arange(n)
+    return jnp.where(r[None, :] > r[:, None], NEG_INF, 0.0).astype(dtype)
+
+
+def ar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
+    """Greedy left-to-right AR decode as a lax.scan (model.py:119-147).
+
+    Fixed trip count = num_steps; the content buffer holds [BOS, tok_1, ...]
+    and each step queries one position with keys limited to the prefix.
+    """
+    B = memory.shape[0]
+    n = cfg.num_steps
+    pos_queries = params['pos_queries'].astype(dtype)  # (1, n, D)
+    causal = _causal_bias(n)
+
+    tgt_init = jnp.full((B, n), cfg.pad_id, jnp.int32).at[:, 0].set(cfg.bos_id)
+
+    def step(tgt_in, i):
+        q = jax.lax.dynamic_slice_in_dim(pos_queries, i, 1, axis=1)
+        q = jnp.broadcast_to(q, (B, 1, cfg.embed_dim))
+        # Single query at position i sees content keys 0..i.
+        qb = jnp.where(jnp.arange(n)[None, :] <= i, 0.0, NEG_INF).astype(jnp.float32)
+        out = decode(params, cfg, tgt_in, memory, query=q, query_bias=qb,
+                     content_bias=causal, dtype=dtype)
+        logits_i = head(params, out)[:, 0]  # (B, C)
+        nxt = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+        # Write the prediction as context for the next step (last step writes
+        # nowhere: clamp to stay in bounds, then restore the original column).
+        j = jnp.minimum(i + 1, n - 1)
+        col = jnp.where(i + 1 < n, nxt, tgt_in[:, n - 1])
+        tgt_in = jax.lax.dynamic_update_slice_in_dim(tgt_in, col[:, None], j, axis=1)
+        return tgt_in, logits_i
+
+    _, logits = jax.lax.scan(step, tgt_init, jnp.arange(n))
+    return logits.transpose(1, 0, 2)  # (B, n, C)
+
+
+def nar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
+    """Single parallel decode with BOS-only context (model.py:149-152)."""
+    B = memory.shape[0]
+    bos = jnp.full((B, 1), cfg.bos_id, jnp.int32)
+    q = jnp.broadcast_to(params['pos_queries'].astype(dtype), (B, cfg.num_steps, cfg.embed_dim))
+    out = decode(params, cfg, bos, memory, query=q, dtype=dtype)
+    return head(params, out)
+
+
+def refine(params, cfg: PARSeqConfig, memory, logits, dtype=jnp.float32):
+    """Iterative cloze refinement (model.py:154-167)."""
+    n = cfg.num_steps
+    r = jnp.arange(n)
+    # Cloze query bias: query i sees every context token EXCEPT its own
+    # previous prediction (content position i+1). Derived in the reference by
+    # taking the AR mask triu(1) and clearing triu(2) (model.py:157), which
+    # leaves only the first superdiagonal masked.
+    cloze = jnp.where(r[None, :] == r[:, None] + 1, NEG_INF, 0.0).astype(jnp.float32)
+    # The reference aliases tgt_mask and query_mask (model.py:117), so the
+    # in-place cloze edit also applies to the content mask: during refinement
+    # the content stream uses the cloze mask as well (only visible when
+    # dec_depth > 1, but we reproduce it exactly).
+    B = memory.shape[0]
+    bos = jnp.full((B, 1), cfg.bos_id, jnp.int32)
+    q = jnp.broadcast_to(params['pos_queries'].astype(dtype), (B, n, cfg.embed_dim))
+    for _ in range(cfg.refine_iters):
+        tgt_in = jnp.concatenate([bos, jnp.argmax(logits[:, :-1], axis=-1).astype(jnp.int32)], axis=1)
+        # Mask context tokens at and beyond the first EOS.
+        padding_mask = jnp.cumsum(tgt_in == cfg.eos_id, axis=-1) > 0
+        out = decode(params, cfg, tgt_in, memory, query=q, query_bias=cloze,
+                     content_bias=cloze, padding_mask=padding_mask, dtype=dtype)
+        logits = head(params, out)
+    return logits
+
+
+def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32):
+    """Full inference: encode -> AR or NAR decode -> refinement.
+
+    Always decodes the full num_steps positions (static shape); the
+    reference's optional `max_length` shortening (model.py:106-110) only
+    trims compute, never changes decoded strings, because the tokenizer
+    truncates at the first EOS.
+    """
+    images = images.astype(dtype)
+    memory = encode(params, cfg, images)
+    if cfg.decode_ar:
+        logits = ar_decode(params, cfg, memory, dtype)
+    else:
+        logits = nar_decode(params, cfg, memory, dtype)
+    if cfg.refine_iters:
+        logits = refine(params, cfg, memory, logits, dtype)
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Training: permutations, masks, loss (system.py:90-200)
+# ---------------------------------------------------------------------------
+
+
+def gen_tgt_perms(rng, cfg: PARSeqConfig, max_num_chars=None):
+    """Host-side (numpy) permutation sampling, reference semantics
+    (system.py:90-151). Returns int32 (K, max_num_chars + 2) including the
+    BOS slot (always 0) and EOS slot (always last).
+
+    With fixed-shape targets max_num_chars is always max_label_length; the
+    padding mask makes the same masks valid for shorter sequences (see the
+    reference's own docstring, system.py:91-94).
+    """
+    import numpy as np
+
+    if max_num_chars is None:
+        max_num_chars = cfg.max_label_length
+    if max_num_chars == 1:
+        return np.arange(3, dtype=np.int32)[None]
+
+    max_gen_perms = cfg.perm_num // 2 if cfg.perm_mirrored else cfg.perm_num
+    perms = [np.arange(max_num_chars, dtype=np.int64)] if cfg.perm_forward else []
+    max_perms = math.factorial(max_num_chars)
+    if cfg.perm_mirrored:
+        max_perms //= 2
+    num_gen_perms = min(max_gen_perms, max_perms)
+    if max_num_chars < 5:
+        from itertools import permutations as iperms
+
+        if max_num_chars == 4 and cfg.perm_mirrored:
+            selector = [0, 3, 4, 6, 9, 10, 12, 16, 17, 18, 19, 21]
+        else:
+            selector = list(range(max_perms))
+        perm_pool = np.asarray(list(iperms(range(max_num_chars))), dtype=np.int64)[selector]
+        if cfg.perm_forward:
+            perm_pool = perm_pool[1:]
+        perms = np.stack(perms) if perms else np.zeros((0, max_num_chars), np.int64)
+        if len(perm_pool):
+            i = rng.choice(len(perm_pool), size=num_gen_perms - len(perms), replace=False)
+            perms = np.concatenate([perms, perm_pool[i]])
+    else:
+        perms.extend(rng.permutation(max_num_chars) for _ in range(num_gen_perms - len(perms)))
+        perms = np.stack(perms)
+    if cfg.perm_mirrored:
+        comp = perms[:, ::-1]
+        # Interleave so that each pair (perm, reversed perm) is adjacent.
+        perms = np.stack([perms, comp], axis=1).reshape(-1, max_num_chars)
+    bos_idx = np.zeros((len(perms), 1), np.int64)
+    eos_idx = np.full((len(perms), 1), max_num_chars + 1, np.int64)
+    perms = np.concatenate([bos_idx, perms + 1, eos_idx], axis=1)
+    if len(perms) > 1:
+        # Second perm: strict reverse ramp -> reverse context for chars and
+        # null context for EOS (needed to learn NAR EOS prediction).
+        perms[1, 1:] = max_num_chars + 1 - np.arange(max_num_chars + 1)
+    return perms.astype(np.int32)
+
+
+def perm_attn_masks(perm):
+    """Vectorized equivalent of generate_attn_masks (system.py:153-167).
+
+    perm: int (L,) — a permutation over [0, L) with perm[0] == 0 (BOS).
+    Returns (content_bias, query_bias): additive biases of shape
+    (L-1, L-1), where content position k may be attended by query position q
+    iff k comes no later than q in the permutation order (and q != k for the
+    query stream).
+    """
+    L = perm.shape[0]
+    rank = jnp.argsort(perm)  # rank[token_pos] = index in permutation order
+    masked = rank[None, :] > rank[:, None]  # key strictly later than query
+    content_bias = jnp.where(masked[:-1, :-1], NEG_INF, 0.0)
+    masked_self = masked | jnp.eye(L, dtype=bool)
+    query_bias = jnp.where(masked_self[1:, :-1], NEG_INF, 0.0)
+    return content_bias.astype(jnp.float32), query_bias.astype(jnp.float32)
+
+
+def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=jnp.float32, rng=None):
+    """Training loss over K permutations (system.py:169-200).
+
+    tgt_ids: (B, max_label_length + 2) from Tokenizer.encode.
+    perms: (K, max_label_length + 2) from gen_tgt_perms.
+    Per-element CE with PAD ignored; EOS positions contribute only for the
+    first two permutations (forward + reverse), then are treated as PAD.
+    Returns (loss, loss_numel).
+    """
+    images = images.astype(dtype)
+    memory = encode(params, cfg, images)
+    tgt_in = tgt_ids[:, :-1]
+    tgt_out = tgt_ids[:, 1:]
+    padding_mask = (tgt_in == cfg.pad_id) | (tgt_in == cfg.eos_id)
+
+    content_bias, query_bias = jax.vmap(perm_attn_masks)(perms)  # (K, L-1, L-1)
+
+    K = perms.shape[0]
+    rngs = _rng_list(rng, K)
+
+    def decode_one(cb, qb, r):
+        out = decode(params, cfg, tgt_in, memory, query_bias=qb, content_bias=cb,
+                     padding_mask=padding_mask, dtype=dtype, drop=cfg.dropout, rng=r)
+        return head(params, out)  # (B, L-1, C)
+
+    if rng is None:
+        logits = jax.vmap(decode_one, in_axes=(0, 0, None))(content_bias, query_bias, None)
+    else:
+        logits = jax.vmap(decode_one)(content_bias, query_bias, jnp.stack(rngs))
+
+    # Validity: PAD never counts; EOS counts only for perm index < 2.
+    base_valid = tgt_out != cfg.pad_id  # (B, L-1)
+    eos_pos = tgt_out == cfg.eos_id
+    k_idx = jnp.arange(K)[:, None, None]
+    valid = base_valid[None] & ((k_idx < 2) | ~eos_pos[None])  # (K, B, L-1)
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt_safe = jnp.clip(tgt_out, 0, cfg.num_classes - 1)
+    nll = -jnp.take_along_axis(logp, tgt_safe[None, ..., None].repeat(K, 0), axis=-1)[..., 0]
+    loss_sum = jnp.sum(nll * valid)
+    loss_numel = jnp.sum(valid)
+    return loss_sum / jnp.maximum(loss_numel, 1), loss_numel

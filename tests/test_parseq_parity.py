@@ -1,0 +1,157 @@
+"""Full-model parity: our JAX PARSeq vs an independent torch twin.
+
+Converting the twin's (reference-schema) state_dict through
+utils.torch_convert must reproduce encoder outputs, decoder outputs, and all
+three inference modes (AR / NAR / refine) to float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from parseq_tpu.models import parseq
+from parseq_tpu.utils.torch_convert import convert_parseq
+
+from .torch_twin import TwinPARSeq
+
+# Small config to keep CPU tests fast but architecturally complete
+# (dec_depth=2 exercises the content-stream update path).
+CFG = parseq.PARSeqConfig(
+    num_tokens=13,  # 10 chars + 3 specials
+    max_label_length=7,
+    img_size=(32, 64),
+    patch_size=(4, 8),
+    embed_dim=48,
+    enc_num_heads=4,
+    enc_mlp_ratio=4.0,
+    enc_depth=3,
+    dec_num_heads=6,
+    dec_mlp_ratio=4.0,
+    dec_depth=2,
+)
+
+
+@pytest.fixture(scope='module')
+def twin_and_params():
+    torch.manual_seed(7)
+    twin = TwinPARSeq(
+        num_tokens=CFG.num_tokens, max_label_length=CFG.max_label_length,
+        img_size=CFG.img_size, patch_size=CFG.patch_size, d=CFG.embed_dim,
+        enc_heads=CFG.enc_num_heads, enc_mlp=4, enc_depth=CFG.enc_depth,
+        dec_heads=CFG.dec_num_heads, dec_mlp=4, dec_depth=CFG.dec_depth,
+    ).eval()
+    params = convert_parseq({k: v for k, v in twin.state_dict().items()})
+    return twin, params
+
+
+@pytest.fixture(scope='module')
+def images():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 3, *CFG.img_size), dtype=np.float32)
+
+
+def test_encoder_parity(twin_and_params, images):
+    twin, params = twin_and_params
+    with torch.no_grad():
+        want = twin.encoder(torch.from_numpy(images)).numpy()
+    got = np.asarray(parseq.encode(params, CFG, jnp.asarray(images.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decode_with_masks_parity(twin_and_params, images):
+    twin, params = twin_and_params
+    B, n = images.shape[0], CFG.num_steps
+    rng = np.random.default_rng(1)
+    tgt = rng.integers(0, CFG.num_tokens - 2, size=(B, n)).astype(np.int64)
+    tgt[:, 0] = CFG.bos_id
+    causal = np.triu(np.ones((n, n), bool), 1)
+    pad_mask = np.zeros((B, n), bool)
+    pad_mask[0, -2:] = True
+    with torch.no_grad():
+        memory_t = twin.encoder(torch.from_numpy(images))
+        out_t = twin.decode(torch.from_numpy(tgt), memory_t,
+                            torch.from_numpy(causal), torch.from_numpy(pad_mask))
+        want = twin.head(out_t).numpy()
+    memory = parseq.encode(params, CFG, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    from parseq_tpu.ops.layers import bool_to_bias
+
+    out = parseq.decode(params, CFG, jnp.asarray(tgt.astype(np.int32)), memory,
+                        content_bias=bool_to_bias(jnp.asarray(causal)),
+                        padding_mask=jnp.asarray(pad_mask))
+    got = np.asarray(parseq.head(params, out))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize('mode', ['nar', 'ar', 'ar_refine'])
+def test_inference_parity(twin_and_params, images, mode):
+    twin, params = twin_and_params
+    decode_ar = mode != 'nar'
+    refine_iters = 2 if mode == 'ar_refine' else 0
+    with torch.no_grad():
+        want = twin(torch.from_numpy(images), decode_ar=decode_ar, refine_iters=refine_iters).numpy()
+    cfg = parseq.PARSeqConfig(**{**CFG.__dict__, 'decode_ar': decode_ar, 'refine_iters': refine_iters})
+    got = np.asarray(parseq.forward(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape == (2, CFG.num_steps, CFG.num_classes)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # Greedy token decisions must agree exactly.
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_perm_masks_match_reference_algorithm():
+    """Vectorized mask builder vs the reference's explicit loop (system.py:153-167)."""
+    rng = np.random.default_rng(3)
+    for L in [3, 5, 9, 27]:
+        perm = np.concatenate([[0], rng.permutation(L - 2) + 1, [L - 1]])
+        # reference algorithm, re-derived with numpy
+        mask = np.zeros((L, L), bool)
+        for i in range(L):
+            mask[perm[i], perm[i + 1 :]] = True
+        ref_content = mask[:-1, :-1].copy()
+        mask[np.eye(L, dtype=bool)] = True
+        ref_query = mask[1:, :-1]
+        cb, qb = parseq.perm_attn_masks(jnp.asarray(perm))
+        np.testing.assert_array_equal(np.asarray(cb) < 0, ref_content)
+        np.testing.assert_array_equal(np.asarray(qb) < 0, ref_query)
+
+
+def test_gen_tgt_perms_properties():
+    cfg = CFG
+    rng = np.random.default_rng(0)
+    perms = parseq.gen_tgt_perms(rng, cfg)
+    K = cfg.perm_num
+    L = cfg.max_label_length + 2
+    assert perms.shape == (K, L)
+    # BOS always first; EOS decoded last for every perm except the reverse
+    # ramp (row 1), which decodes EOS first with null context (system.py:149-150)
+    assert (perms[:, 0] == 0).all()
+    assert (np.delete(perms[:, -1], 1) == L - 1).all()
+    # First perm is the forward ordering
+    np.testing.assert_array_equal(perms[0], np.arange(L))
+    # Second perm is the strict reverse ramp (incl. null-context EOS)
+    np.testing.assert_array_equal(perms[1, 1:], L - 1 - np.arange(L - 1))
+    # Each row is a permutation of 0..L-1
+    for p in perms:
+        assert sorted(p.tolist()) == list(range(L))
+    # Mirrored pairs: rows 2k+1 reverse the char-part of rows 2k (k>=1)
+    for k in range(1, K // 2):
+        np.testing.assert_array_equal(perms[2 * k + 1, 1:-1], perms[2 * k, 1:-1][::-1])
+
+
+def test_multi_perm_loss_runs_and_is_finite(twin_and_params, images):
+    _, params = twin_and_params
+    from parseq_tpu.data import Tokenizer
+
+    tok = Tokenizer('0123456789')
+    tgt = tok.encode(['123', '4567890'], CFG.max_label_length)
+    rng = np.random.default_rng(0)
+    perms = parseq.gen_tgt_perms(rng, CFG)
+    loss, numel = parseq.multi_perm_loss(
+        params, CFG, jnp.asarray(images.transpose(0, 2, 3, 1)), jnp.asarray(tgt), jnp.asarray(perms)
+    )
+    assert np.isfinite(float(loss))
+    # numel: chars+EOS counted for 2 perms, chars only for the rest
+    chars = 3 + 7
+    want = (chars + 2) * 2 + chars * (CFG.perm_num - 2)
+    assert int(numel) == want
