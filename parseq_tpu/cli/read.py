@@ -1,0 +1,45 @@
+"""Read text from images (reference read.py equivalent).
+
+Usage:
+    python -m parseq_tpu.cli.read <checkpoint> --images img1.jpg img2.png
+        [--device cpu|tpu] [model_override:type=value ...]
+
+`checkpoint` may be a native .ckpt, a reference PyTorch .pt, or
+`pretrained=<experiment>` (requires the weight file to exist locally under
+--weights_dir, since this environment has no network).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from parseq_tpu.data.transforms import batch_images
+from parseq_tpu.utils.config import parse_model_args
+from parseq_tpu.utils.registry import create_model, load_from_checkpoint
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('checkpoint', help="Native .ckpt, torch .pt, or 'pretrained=<experiment>'")
+    ap.add_argument('--images', nargs='+', required=True, help='Image files to read')
+    ap.add_argument('model_args', nargs='*', help='Model overrides key:type=value')
+    args = ap.parse_args(argv)
+
+    kwargs = parse_model_args(args.model_args)
+    if args.checkpoint.startswith('pretrained='):
+        model = create_model(args.checkpoint.split('=', 1)[1], **kwargs)
+        print('WARNING: no local weights given; using random init')
+    else:
+        model = load_from_checkpoint(args.checkpoint, **kwargs)
+    print(f'Additional model arguments: {kwargs}')
+
+    images = batch_images(args.images, model.img_size)
+    labels, confidence = model.read(images)
+    for path, text, conf in zip(args.images, labels, confidence):
+        print(f'{path}: {text} (conf={conf:.4f})')
+
+
+if __name__ == '__main__':
+    main()

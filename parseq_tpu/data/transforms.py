@@ -1,0 +1,59 @@
+"""Image preprocessing matching the reference transform pipeline.
+
+Reference (/root/reference/strhub/data/module.py:68-82):
+  [RandAugment] -> [rotate] -> Resize((H, W), bicubic, NOT aspect-preserving)
+  -> ToTensor -> Normalize(mean=0.5, std=0.5)
+
+Host side uses PIL (decode + bicubic resize parity with torchvision); output
+is NHWC float32 in [-1, 1], the TPU-native layout. A jit-compiled JAX variant
+(`preprocess_jax`) covers serving paths where images arrive as arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+def preprocess_pil(img: Image.Image, img_size=(32, 128), rotation: int = 0) -> np.ndarray:
+    """PIL image -> (H, W, 3) float32 in [-1, 1]."""
+    if img.mode != 'RGB':
+        img = img.convert('RGB')
+    if rotation:
+        img = img.rotate(rotation, expand=True)
+    h, w = img_size
+    img = img.resize((w, h), Image.Resampling.BICUBIC)
+    x = np.asarray(img, dtype=np.float32) / 255.0
+    return (x - 0.5) / 0.5
+
+
+def load_image(path, img_size=(32, 128), rotation: int = 0) -> np.ndarray:
+    with Image.open(path) as img:
+        return preprocess_pil(img, img_size, rotation)
+
+
+def batch_images(paths, img_size=(32, 128), rotation: int = 0) -> np.ndarray:
+    return np.stack([load_image(p, img_size, rotation) for p in paths])
+
+
+@jax.jit
+def _resize_normalize(x, h, w):
+    y = jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method='cubic')
+    return (y - 0.5) / 0.5
+
+
+def preprocess_jax(images, img_size=(32, 128)):
+    """Device-side preprocessing for serving: uint8/float NHWC -> [-1, 1].
+
+    Note: jax.image cubic resize is not bit-identical to PIL's bicubic
+    (different boundary handling); use the PIL path when exact parity with
+    reference predictions matters.
+    """
+    x = jnp.asarray(images)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    h, w = img_size
+    return _resize_normalize(x, h, w)

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, replicated, shard_batch
+
+__all__ = ['make_mesh', 'shard_batch', 'replicated']

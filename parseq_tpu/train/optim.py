@@ -1,0 +1,129 @@
+"""Optimizer + LR schedule, reproducing the reference recipe.
+
+Reference (/root/reference/strhub/models/base.py:98-107):
+  AdamW with effective LR = lr * accum * sqrt(num_devices) * batch_size / 256,
+  OneCycleLR (cosine, pct_start=warmup_pct, cycle_momentum=False) stepped
+  per optimizer step, gradient clipping 20 (configs/main.yaml trainer block),
+  and weight decay excluded for flagged params (timm create_optimizer_v2
+  skips 1-D params and model.no_weight_decay(): text_embed, pos_queries,
+  pos_embed — parseq/model.py:77-81).
+
+SWA (train.py:43-50,93-95): from 75% of training, LR switches to a constant
+swa_lr derived from the OneCycle cosine tail, and weights are averaged
+uniformly every epoch. We implement this as a schedule clamp + a running
+parameter average maintained by the train loop.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 7e-4
+    weight_decay: float = 0.0
+    warmup_pct: float = 0.075
+    batch_size: int = 384
+    grad_clip: float = 20.0
+    total_steps: int = 169_680
+    num_devices: int = 1
+    accum: int = 1
+    # OneCycleLR torch defaults
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    swa: bool = True
+    swa_epoch_start: float = 0.75
+
+
+def scaled_lr(cfg: OptimConfig) -> float:
+    """base.py:100-102 linear/sqrt scaling rule."""
+    return cfg.lr * cfg.accum * math.sqrt(cfg.num_devices) * cfg.batch_size / 256.0
+
+
+def _annealing_cos(start, end, pct):
+    """Cosine interpolation from start to end (train.py:37-40)."""
+    cos_out = math.cos(math.pi * pct) + 1
+    return end + (start - end) / 2.0 * cos_out
+
+
+def swa_lr(cfg: OptimConfig) -> float:
+    """LR value of the OneCycle cosine tail at the SWA start point
+    (train.py:43-50: anneal from peak over the post-warmup span)."""
+    lr = scaled_lr(cfg)
+    return _annealing_cos(lr, lr / cfg.final_div_factor,
+                          (cfg.swa_epoch_start - cfg.warmup_pct) / (1 - cfg.warmup_pct))
+
+
+def onecycle_schedule(cfg: OptimConfig):
+    peak = scaled_lr(cfg)
+    base = optax.cosine_onecycle_schedule(
+        transition_steps=cfg.total_steps,
+        peak_value=peak,
+        pct_start=cfg.warmup_pct,
+        div_factor=cfg.div_factor,
+        final_div_factor=cfg.final_div_factor,
+    )
+    if not cfg.swa:
+        return base
+    swa_start = int(cfg.swa_epoch_start * cfg.total_steps)
+    const = swa_lr(cfg)
+
+    def sched(step):
+        return jnp.where(step < swa_start, base(step), const)
+
+    return sched
+
+
+def _no_decay_mask(params):
+    """True where weight decay applies: >=2-D weights, excluding embeddings
+    and positional tables (timm create_optimizer_v2 + no_weight_decay())."""
+
+    def mask_fn(path, x):
+        keys = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
+        name = '/'.join(str(k) for k in keys)
+        if x.ndim < 2:
+            return False
+        for token in ('pos_embed', 'pos_queries', 'text_embed'):
+            if token in name:
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(cfg: OptimConfig, params):
+    sched = onecycle_schedule(cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            learning_rate=sched,
+            b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=cfg.weight_decay,
+            mask=_no_decay_mask(params) if cfg.weight_decay else None,
+        ),
+    )
+    return tx, sched
+
+
+# ---------------------------------------------------------------------------
+# SWA running average
+# ---------------------------------------------------------------------------
+
+
+def swa_init(params):
+    return {'avg': jax.tree.map(jnp.zeros_like, params), 'n': jnp.zeros((), jnp.int32)}
+
+
+def swa_update(swa_state, params):
+    """Uniform running average: avg_{n+1} = avg_n + (p - avg_n)/(n+1)."""
+    n = swa_state['n']
+    new_avg = jax.tree.map(
+        lambda a, p: a + (p - a) / (n + 1).astype(p.dtype), swa_state['avg'], params
+    )
+    return {'avg': new_avg, 'n': n + 1}
