@@ -4,9 +4,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): 5000 img/s/chip PARSeq-S inference at
 reference accuracy settings (decode_ar=True, refine_iters=1, 94-charset).
+
+Methodology notes (axon relay semantics): block_until_ready does not
+synchronize remote execution and identical (executable, args) pairs can be
+served from cache, so every timed call uses a never-before-seen device-
+resident batch and execution is forced by fetching one fused scalar
+reduction of all outputs to the host.
 """
 
+import argparse
 import json
+import statistics
 import time
 
 import jax
@@ -17,7 +25,21 @@ from parseq_tpu.models import parseq
 BASELINE_IMG_PER_S = 5000.0
 
 
-def main(batch_size=256, iters=20, warmup=3):
+def make_batches(seed, n, batch_size, img_size):
+    keys = jax.random.split(jax.random.key(seed), n)
+    batches = [jax.random.uniform(k, (batch_size, *img_size, 3), jnp.float32) for k in keys]
+    # Force materialization so generation is not timed.
+    _ = float(jnp.stack([b.sum() for b in batches]).sum())
+    return batches
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch_size', type=int, default=256)
+    ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--trials', type=int, default=3)
+    args = ap.parse_args()
+
     cfg = parseq.PARSeqConfig(num_tokens=97)  # test-default: AR + 1 refine iter
     params = parseq.init(jax.random.key(0), cfg)
 
@@ -25,18 +47,19 @@ def main(batch_size=256, iters=20, warmup=3):
     def fwd(params, images):
         return parseq.forward(params, cfg, images, dtype=jnp.bfloat16)
 
-    images = jax.random.uniform(jax.random.key(1), (batch_size, *cfg.img_size, 3), jnp.float32)
+    # compile + warmup on its own batch
+    warm = make_batches(999, 1, args.batch_size, cfg.img_size)
+    _ = float(fwd(params, warm[0]).sum())
 
-    for _ in range(warmup):
-        fwd(params, images).block_until_ready()
+    times = []
+    for t in range(args.trials):
+        batches = make_batches(t, args.iters, args.batch_size, cfg.img_size)
+        t0 = time.perf_counter()
+        outs = [fwd(params, b) for b in batches]
+        _ = float(jnp.stack([o.sum() for o in outs]).sum())  # forces execution
+        times.append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, images)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    img_per_s = batch_size * iters / dt
+    img_per_s = args.batch_size * args.iters / statistics.median(times)
     print(json.dumps({
         'metric': 'parseq_s_infer_throughput',
         'value': round(img_per_s, 1),

@@ -1,0 +1,115 @@
+"""Host-side batch loader: decode/augment workers -> fixed-shape NHWC batches.
+
+Replaces torch DataLoader (reference module.py:116-157). Items are decoded
+and transformed in a process pool (PIL decode + augment are CPU-bound),
+batches are collated into fixed-shape float32 arrays, and a small prefetch
+queue keeps the device fed. Fixed shapes always: the final partial batch is
+zero-padded and carries a validity mask.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+
+import numpy as np
+
+
+def _collate(items, batch_size):
+    """items: list of (img_array(H,W,3) f32, label). Pads to batch_size."""
+    n = len(items)
+    h, w, c = items[0][0].shape
+    images = np.zeros((batch_size, h, w, c), np.float32)
+    labels = []
+    for i, (img, label) in enumerate(items):
+        images[i] = img
+        labels.append(label)
+    valid = np.arange(batch_size) < n
+    return images, labels, valid
+
+
+class DataLoader:
+    """Iterates (images (B,H,W,3) f32, labels list[str], valid (B,) bool)."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=0, seed=0, prefetch=4, epoch=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = epoch
+        self._pool = None
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def _fetch(self, chunk):
+        items = [self.dataset[int(i)] for i in chunk]
+        return _collate(items, self.batch_size)
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for chunk in self._index_batches():
+                yield self._fetch(chunk)
+            return
+        yield from self._iter_pool()
+
+    def _iter_pool(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context('fork')
+        with ctx.Pool(self.num_workers, initializer=_init_worker, initargs=(self.dataset,)) as pool:
+            it = pool.imap(_worker_fetch, ((list(map(int, c)), self.batch_size) for c in self._index_batches()),
+                           chunksize=1)
+            # thread-side prefetch so the pool stays busy while the device runs
+            q = queue.Queue(maxsize=self.prefetch)
+            sentinel = object()
+
+            def feed():
+                try:
+                    for item in it:
+                        q.put(item)
+                finally:
+                    q.put(sentinel)
+
+            t = threading.Thread(target=feed, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(args):
+    chunk, batch_size = args
+    items = [_WORKER_DATASET[i] for i in chunk]
+    return _collate(items, batch_size)

@@ -1,0 +1,101 @@
+"""SceneTextDataModule equivalent: dataset construction + loaders.
+
+Mirrors /root/reference/strhub/data/module.py:27-157 (benchmark-set
+constants, transform pipeline, train/val/test loader construction) on top of
+our native LMDB reader and host loader.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import PurePath
+
+from parseq_tpu.data.dataset import LmdbDataset, build_tree_dataset
+from parseq_tpu.data.loader import DataLoader
+from parseq_tpu.data.transforms import preprocess_pil
+
+TEST_BENCHMARK_SUB = ('IIIT5k', 'SVT', 'IC13_857', 'IC15_1811', 'SVTP', 'CUTE80')
+TEST_BENCHMARK = ('IIIT5k', 'SVT', 'IC13_1015', 'IC15_2077', 'SVTP', 'CUTE80')
+TEST_NEW = ('ArT', 'COCOv1.4', 'Uber')
+TEST_ALL = tuple(set(TEST_BENCHMARK_SUB + TEST_BENCHMARK + TEST_NEW))
+
+
+def get_transform(img_size, augment=False, rotation=0):
+    """PIL -> (H, W, 3) float32 in [-1, 1], reference pipeline order."""
+    aug = None
+    if augment:
+        from parseq_tpu.data.augment import rand_augment_transform
+
+        aug = rand_augment_transform()
+
+    def transform(img):
+        if aug is not None:
+            img = aug(img)
+        return preprocess_pil(img, img_size, rotation)
+
+    return transform
+
+
+class SceneTextDataModule:
+
+    def __init__(self, root_dir, train_dir, img_size, max_label_length,
+                 charset_train, charset_test, batch_size, num_workers=2,
+                 augment=True, remove_whitespace=True, normalize_unicode=True,
+                 min_image_dim=0, rotation=0):
+        self.root_dir = root_dir
+        self.train_dir = train_dir
+        self.img_size = tuple(img_size)
+        self.max_label_length = max_label_length
+        self.charset_train = charset_train
+        self.charset_test = charset_test
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.augment = augment
+        self.remove_whitespace = remove_whitespace
+        self.normalize_unicode = normalize_unicode
+        self.min_image_dim = min_image_dim
+        self.rotation = rotation
+        self._train_dataset = None
+        self._val_dataset = None
+
+    @property
+    def train_dataset(self):
+        if self._train_dataset is None:
+            self._train_dataset = build_tree_dataset(
+                PurePath(self.root_dir, 'train', self.train_dir),
+                self.charset_train, self.max_label_length, self.min_image_dim,
+                self.remove_whitespace, self.normalize_unicode,
+                transform=get_transform(self.img_size, self.augment),
+            )
+        return self._train_dataset
+
+    @property
+    def val_dataset(self):
+        if self._val_dataset is None:
+            self._val_dataset = build_tree_dataset(
+                PurePath(self.root_dir, 'val'),
+                self.charset_test, self.max_label_length, self.min_image_dim,
+                self.remove_whitespace, self.normalize_unicode,
+                transform=get_transform(self.img_size),
+            )
+        return self._val_dataset
+
+    def train_dataloader(self, seed=0):
+        return DataLoader(self.train_dataset, self.batch_size, shuffle=True,
+                          drop_last=True, num_workers=self.num_workers, seed=seed)
+
+    def val_dataloader(self):
+        return DataLoader(self.val_dataset, self.batch_size, num_workers=self.num_workers)
+
+    def test_dataloaders(self, subset):
+        transform = get_transform(self.img_size, rotation=self.rotation)
+        root = PurePath(self.root_dir, 'test')
+        return {
+            s: DataLoader(
+                LmdbDataset(str(root / s), self.charset_test, self.max_label_length,
+                            self.min_image_dim, self.remove_whitespace,
+                            self.normalize_unicode, transform=transform),
+                self.batch_size, num_workers=self.num_workers,
+            )
+            for s in subset
+        }

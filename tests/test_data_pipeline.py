@@ -1,0 +1,123 @@
+"""End-to-end data pipeline: loaders, transforms, augment, metrics, eval."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from parseq_tpu.data.augment import rand_augment_transform
+from parseq_tpu.data.loader import DataLoader
+from parseq_tpu.data.module import SceneTextDataModule, get_transform
+from parseq_tpu.data.transforms import preprocess_pil
+from parseq_tpu.utils.metrics import edit_distance, ned
+
+from .test_lmdb import _png_bytes, make_str_db
+
+
+def test_edit_distance():
+    assert edit_distance('', '') == 0
+    assert edit_distance('abc', 'abc') == 0
+    assert edit_distance('kitten', 'sitting') == 3
+    assert edit_distance('abc', '') == 3
+    assert ned('ab', 'abcd') == 0.5
+    assert ned('', '') == 0.0
+
+
+def test_preprocess_semantics():
+    """Stretch-to-(H,W) bicubic + [-1,1] normalize (reference module.py:77-81).
+
+    torchvision T.Resize on a PIL input delegates to PIL's bicubic resize and
+    ToTensor/Normalize(0.5,0.5) map [0,255] -> [-1,1]; we verify the exact
+    value mapping and the non-aspect-preserving stretch.
+    """
+    # solid color: resize is identity on values, normalize maps exactly
+    img = Image.new('RGB', (53, 17), (255, 0, 128))
+    got = preprocess_pil(img, (32, 128))
+    assert got.shape == (32, 128, 3)
+    np.testing.assert_allclose(got[..., 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(got[..., 1], -1.0, atol=1e-6)
+    np.testing.assert_allclose(got[..., 2], 128 / 255 * 2 - 1, atol=1e-6)
+    # equals PIL bicubic resize exactly (the reference's T.Resize path)
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (17, 53, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    ref = np.asarray(img.resize((128, 32), Image.Resampling.BICUBIC), np.float32)
+    ref = (ref / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(preprocess_pil(img, (32, 128)), ref, atol=1e-6)
+    # grayscale input converts to RGB first
+    gray = Image.new('L', (10, 10), 200)
+    assert preprocess_pil(gray, (32, 128)).shape == (32, 128, 3)
+
+
+def test_dataloader_shapes_and_padding(tmp_path):
+    db = tmp_path / 'ds'
+    make_str_db(db, [(_png_bytes(), f'w{i}') for i in range(10)])
+    from parseq_tpu.data.dataset import LmdbDataset
+
+    ds = LmdbDataset(str(db), 'abcdefghijklmnopqrstuvwxyz0123456789', 25,
+                     transform=get_transform((32, 128)))
+    loader = DataLoader(ds, batch_size=4)
+    batches = list(loader)
+    assert len(batches) == 3
+    imgs, labels, valid = batches[-1]
+    assert imgs.shape == (4, 32, 128, 3)
+    assert imgs.dtype == np.float32
+    assert valid.tolist() == [True, True, False, False]
+    assert len(labels) == 2
+
+
+def test_dataloader_workers(tmp_path):
+    db = tmp_path / 'ds'
+    make_str_db(db, [(_png_bytes(color=(i * 20, 0, 0)), f'w{i}') for i in range(9)])
+    from parseq_tpu.data.dataset import LmdbDataset
+
+    ds = LmdbDataset(str(db), 'abcdefghijklmnopqrstuvwxyz0123456789', 25,
+                     transform=get_transform((32, 128)))
+    got_serial = [l for _, ls, _ in DataLoader(ds, 2) for l in ls]
+    got_pool = [l for _, ls, _ in DataLoader(ds, 2, num_workers=2) for l in ls]
+    assert got_serial == got_pool == [f'w{i}' for i in range(9)]
+
+
+def test_dataloader_shuffle_determinism(tmp_path):
+    db = tmp_path / 'ds'
+    make_str_db(db, [(_png_bytes(), f'w{i}') for i in range(16)])
+    from parseq_tpu.data.dataset import LmdbDataset
+
+    ds = LmdbDataset(str(db), 'abcdefghijklmnopqrstuvwxyz0123456789', 25,
+                     transform=get_transform((32, 128)))
+    l1 = DataLoader(ds, 4, shuffle=True, seed=1, epoch=0)
+    l2 = DataLoader(ds, 4, shuffle=True, seed=1, epoch=0)
+    a = [l for _, ls, _ in l1 for l in ls]
+    b = [l for _, ls, _ in l2 for l in ls]
+    assert a == b
+    l2.set_epoch(1)
+    c = [l for _, ls, _ in l2 for l in ls]
+    assert a != c  # different epoch -> different order
+
+
+def test_rand_augment_produces_valid_images():
+    np.random.seed(0)
+    import random
+
+    random.seed(0)
+    aug = rand_augment_transform()
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 256, (32, 100, 3), dtype=np.uint8))
+    for _ in range(25):
+        out = aug(img)
+        assert out.mode == 'RGB'
+        assert min(out.size) > 0
+
+
+def test_datamodule_test_loaders(tmp_path):
+    root = tmp_path / 'data'
+    for name in ('IIIT5k', 'CUTE80'):
+        make_str_db(root / 'test' / name, [(_png_bytes(), 'abc'), (_png_bytes(), 'de')])
+    dm = SceneTextDataModule(str(root), 'real', (32, 128), 25,
+                             charset_train='abcdefghijklmnopqrstuvwxyz',
+                             charset_test='abcdefghijklmnopqrstuvwxyz',
+                             batch_size=2, num_workers=0)
+    loaders = dm.test_dataloaders(('IIIT5k', 'CUTE80'))
+    assert set(loaders) == {'IIIT5k', 'CUTE80'}
+    imgs, labels, valid = next(iter(loaders['IIIT5k']))
+    assert imgs.shape == (2, 32, 128, 3)
+    assert labels == ['abc', 'de']
