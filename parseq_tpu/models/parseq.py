@@ -422,3 +422,24 @@ def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=
     loss_sum = jnp.sum(nll * valid)
     loss_numel = jnp.sum(valid)
     return loss_sum / jnp.maximum(loss_numel, 1), loss_numel
+
+
+def logits_loss(params, cfg: PARSeqConfig, images, tgt_ids, dtype=jnp.float32):
+    """Validation loss (CrossEntropySystem.forward_logits_loss, base.py:194-201):
+    full inference forward, CE against [chars..., EOS] with PAD ignored.
+
+    Fixed-shape version: always num_steps positions (the reference trims to
+    the batch-max label length; extra positions here are PAD-masked, so the
+    mean matches).
+    Returns (logits, loss, loss_numel).
+    """
+    logits = forward(params, cfg, images, dtype=dtype)
+    targets = tgt_ids[:, 1:]  # discard BOS -> (B, num_steps + 1)
+    targets = targets[:, : cfg.num_steps]
+    valid = targets != cfg.pad_id
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt_safe = jnp.clip(targets, 0, cfg.num_classes - 1)
+    nll = -jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
+    numel = jnp.sum(valid)
+    loss = jnp.sum(nll * valid) / jnp.maximum(numel, 1)
+    return logits, loss, numel
