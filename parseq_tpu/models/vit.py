@@ -35,6 +35,7 @@ class ViTConfig:
     depth: int = 12
     num_heads: int = 6
     mlp_ratio: float = 4.0
+    class_token: bool = False  # PARSeq encoder: False; ViTSTR: True
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -44,6 +45,10 @@ class ViTConfig:
     def num_patches(self) -> int:
         gh, gw = self.grid_size
         return gh * gw
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches + int(self.class_token)
 
 
 def _block_init(key, cfg: ViTConfig):
@@ -75,17 +80,21 @@ def init(key, cfg: ViTConfig):
     block_keys = jax.random.split(ks['blocks'], cfg.depth)
     # Stack per-layer params along a leading depth axis for lax.scan.
     blocks = jax.vmap(lambda k: _block_init(k, cfg))(block_keys)
-    return {
+    params = {
         'patch_embed': {
             # timm PatchEmbed conv: kaiming-ish default; trunc_normal is fine
             # for from-scratch training (converted weights overwrite it anyway).
             'w': layers.trunc_normal(ks['patch'], (patch_dim, cfg.embed_dim), 0.02),
             'b': jnp.zeros((cfg.embed_dim,)),
         },
-        'pos_embed': layers.trunc_normal(ks['pos'], (1, cfg.num_patches, cfg.embed_dim), 0.02),
+        'pos_embed': layers.trunc_normal(ks['pos'], (1, cfg.num_tokens, cfg.embed_dim), 0.02),
         'blocks': blocks,
         'norm': layers.layer_norm_init(cfg.embed_dim),
     }
+    if cfg.class_token:
+        # timm init: normal(std=1e-6)
+        params['cls_token'] = 1e-6 * jax.random.normal(ks['pos'], (1, 1, cfg.embed_dim))
+    return params
 
 
 def patch_embed(p, images, cfg: ViTConfig):
@@ -110,8 +119,14 @@ def block_apply(p, x, num_heads):
 
 
 def apply(params, images, cfg: ViTConfig):
-    """images (B, H, W, C) -> memory tokens (B, N, D), final-LN applied."""
+    """images (B, H, W, C) -> tokens (B, N[+1], D), final-LN applied.
+
+    With class_token=True, the cls token is prepended before adding the
+    positional table (timm default: pos_embed covers cls + patches)."""
     x = patch_embed(params['patch_embed'], images, cfg)
+    if cfg.class_token:
+        cls = jnp.broadcast_to(params['cls_token'].astype(x.dtype), (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params['pos_embed'].astype(x.dtype)
 
     def body(x, block_params):

@@ -103,7 +103,70 @@ def _build_parseq(model_cfg: dict, dtype=jnp.bfloat16):
     return cfg, tok, forward_fn, init_fn, convert_fn
 
 
-_BUILDERS = {'parseq': _build_parseq}
+def _build_vitstr(model_cfg: dict, dtype=jnp.bfloat16):
+    from parseq_tpu.models import vitstr
+
+    charset = model_cfg['charset_train']
+    tok = Tokenizer(charset)
+    cfg = vitstr.ViTSTRConfig(
+        num_tokens=len(tok),
+        max_label_length=model_cfg.get('max_label_length', 25),
+        img_size=tuple(model_cfg.get('img_size', (224, 224))),
+        patch_size=tuple(model_cfg.get('patch_size', (16, 16))),
+        embed_dim=model_cfg.get('embed_dim', 384),
+        num_heads=model_cfg.get('num_heads', 6),
+        depth=model_cfg.get('depth', 12),
+    )
+
+    def forward_fn(params, images):
+        return vitstr.forward(params, cfg, images, dtype=dtype)
+
+    def init_fn(key):
+        return vitstr.init(key, cfg)
+
+    def convert_fn(sd):
+        from parseq_tpu.utils.torch_convert import convert_vitstr, strip_prefix
+
+        if any(k.startswith('model.') for k in sd):
+            sd = strip_prefix(sd, 'model.')
+        return convert_vitstr(sd)
+
+    return cfg, tok, forward_fn, init_fn, convert_fn
+
+
+def _build_crnn(model_cfg: dict, dtype=jnp.bfloat16):
+    from parseq_tpu.models import crnn
+
+    charset = model_cfg['charset_train']
+    tok = CTCTokenizer(charset)
+    cfg = crnn.CRNNConfig(
+        num_tokens=len(tok),
+        max_label_length=model_cfg.get('max_label_length', 25),
+        img_size=tuple(model_cfg.get('img_size', (32, 128))),
+        hidden_size=model_cfg.get('hidden_size', 256),
+        leaky_relu=model_cfg.get('leaky_relu', False),
+    )
+
+    def forward_fn(tree, images):
+        logits, _ = crnn.forward(tree['params'], tree['stats'], cfg, images, dtype=dtype)
+        return logits
+
+    def init_fn(key):
+        params, stats = crnn.init(key, cfg)
+        return {'params': params, 'stats': stats}
+
+    def convert_fn(sd):
+        from parseq_tpu.utils.torch_convert import convert_crnn, strip_prefix
+
+        if any(k.startswith('model.') for k in sd):
+            sd = strip_prefix(sd, 'model.')
+        params, stats = convert_crnn(sd)
+        return {'params': params, 'stats': stats}
+
+    return cfg, tok, forward_fn, init_fn, convert_fn
+
+
+_BUILDERS = {'parseq': _build_parseq, 'vitstr': _build_vitstr, 'crnn': _build_crnn}
 
 
 def create_model(experiment: str, *, seed: int = 0, dtype=jnp.bfloat16,

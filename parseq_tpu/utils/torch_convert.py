@@ -75,32 +75,167 @@ def _stack(trees):
 
 
 def convert_vit_encoder(sd, prefix='encoder', depth=None):
-    """timm VisionTransformer (class_token=False, global_pool='') -> vit.init layout."""
+    """timm VisionTransformer -> vit.init layout (with or without class token)."""
+    prefix = f'{prefix}.' if prefix else ''
     if depth is None:
         depth = 1 + max(
-            int(k.removeprefix(f'{prefix}.blocks.').split('.')[0])
+            int(k.removeprefix(f'{prefix}blocks.').split('.')[0])
             for k in sd
-            if k.startswith(f'{prefix}.blocks.')
+            if k.startswith(f'{prefix}blocks.')
         )
-    conv_w = _np(sd[f'{prefix}.patch_embed.proj.weight'])  # (D, C, ph, pw)
+    if prefix:
+        sd = {k.removeprefix(prefix): v for k, v in sd.items() if k.startswith(prefix)}
+    conv_w = _np(sd['patch_embed.proj.weight'])  # (D, C, ph, pw)
     # Flatten in (ph, pw, C) order to match vit.patch_embed's patch layout.
     D = conv_w.shape[0]
     w = conv_w.transpose(2, 3, 1, 0).reshape(-1, D)
     blocks = []
     for i in range(depth):
-        bp = f'{prefix}.blocks.{i}'
+        bp = f'blocks.{i}'
         blocks.append({
             'norm1': _ln(sd, f'{bp}.norm1'),
             'attn': _timm_attn(sd, f'{bp}.attn'),
             'norm2': _ln(sd, f'{bp}.norm2'),
             'mlp': {'fc1': _lin(sd, f'{bp}.mlp.fc1'), 'fc2': _lin(sd, f'{bp}.mlp.fc2')},
         })
-    return {
-        'patch_embed': {'w': jnp.asarray(w), 'b': jnp.asarray(_np(sd[f'{prefix}.patch_embed.proj.bias']))},
-        'pos_embed': jnp.asarray(_np(sd[f'{prefix}.pos_embed'])),
+    out = {
+        'patch_embed': {'w': jnp.asarray(w), 'b': jnp.asarray(_np(sd['patch_embed.proj.bias']))},
+        'pos_embed': jnp.asarray(_np(sd['pos_embed'])),
         'blocks': _stack(blocks),
-        'norm': _ln(sd, f'{prefix}.norm'),
+        'norm': _ln(sd, 'norm'),
     }
+    if 'cls_token' in sd:
+        out['cls_token'] = jnp.asarray(_np(sd['cls_token']))
+    return out
+
+
+def _conv2d(sd, prefix):
+    p = {'w': jnp.asarray(_np(sd[f'{prefix}.weight']).transpose(2, 3, 1, 0))}
+    if f'{prefix}.bias' in sd:
+        p['b'] = jnp.asarray(_np(sd[f'{prefix}.bias']))
+    return p
+
+
+def _bn(sd, prefix):
+    params = {'scale': jnp.asarray(_np(sd[f'{prefix}.weight'])),
+              'bias': jnp.asarray(_np(sd[f'{prefix}.bias']))}
+    stats = {'mean': jnp.asarray(_np(sd[f'{prefix}.running_mean'])),
+             'var': jnp.asarray(_np(sd[f'{prefix}.running_var']))}
+    return params, stats
+
+
+def _lstm_dir(sd, prefix, suffix=''):
+    return {
+        'wih': jnp.asarray(_np(sd[f'{prefix}.weight_ih_l0{suffix}']).T),
+        'whh': jnp.asarray(_np(sd[f'{prefix}.weight_hh_l0{suffix}']).T),
+        'bih': jnp.asarray(_np(sd[f'{prefix}.bias_ih_l0{suffix}'])),
+        'bhh': jnp.asarray(_np(sd[f'{prefix}.bias_hh_l0{suffix}'])),
+    }
+
+
+def _bilstm(sd, prefix):
+    """Reference BidirectionalLSTM (modules.py:5-20) -> rnn.bilstm layout."""
+    return {
+        'fwd': _lstm_dir(sd, f'{prefix}.rnn'),
+        'bwd': _lstm_dir(sd, f'{prefix}.rnn', '_reverse'),
+        'linear': _lin(sd, f'{prefix}.linear'),
+    }
+
+
+def convert_crnn(sd):
+    """Reference CRNN state_dict -> (params, stats) for models/crnn.py."""
+    from parseq_tpu.models.crnn import _CONVS
+
+    convs, bn_stats = [], []
+    for i, (_, _, _, _, bn) in enumerate(_CONVS):
+        c = {'conv': _conv2d(sd, f'cnn.conv{i}')}
+        if bn:
+            c['bn'], st = _bn(sd, f'cnn.batchnorm{i}')
+            bn_stats.append(st)
+        convs.append(c)
+    params = {
+        'cnn': convs,
+        'rnn0': _bilstm(sd, 'rnn.0'),
+        'rnn1': _bilstm(sd, 'rnn.1'),
+    }
+    return params, {'bn': bn_stats}
+
+
+def _conv_bn(sd, conv_prefix, bn_prefix):
+    params = {'conv': _conv2d(sd, conv_prefix)}
+    params['bn'], stats = _bn(sd, bn_prefix)
+    return params, stats
+
+
+def _basic_block(sd, prefix):
+    p1, s1 = _conv_bn(sd, f'{prefix}.conv1', f'{prefix}.bn1')
+    p2, s2 = _conv_bn(sd, f'{prefix}.conv2', f'{prefix}.bn2')
+    p = {'conv1': p1, 'conv2': p2}
+    s = {'conv1': s1, 'conv2': s2}
+    if f'{prefix}.downsample.0.weight' in sd:
+        p['down'], s['down'] = _conv_bn(sd, f'{prefix}.downsample.0', f'{prefix}.downsample.1')
+    return p, s
+
+
+def _res_layer(sd, prefix, n):
+    ps, ss = [], []
+    for i in range(n):
+        p, s = _basic_block(sd, f'{prefix}.{i}')
+        ps.append(p)
+        ss.append(s)
+    return ps, ss
+
+
+def convert_trba(sd, use_ctc=False):
+    """Reference TRBA/TRBC state_dict -> (params, stats) for models/trba.py."""
+    params, stats = {}, {}
+    # TPS localization net: Sequential indices 0,1 / 4,5 / 8,9 / 12,13
+    loc, loc_s = {}, {}
+    for i, si in enumerate([0, 4, 8, 12]):
+        pfx = f'Transformation.LocalizationNetwork.conv.{si}'
+        bfx = f'Transformation.LocalizationNetwork.conv.{si + 1}'
+        loc[f'conv{i}'], loc_s[f'conv{i}'] = _conv_bn(sd, pfx, bfx)
+    loc['fc1'] = _lin(sd, 'Transformation.LocalizationNetwork.localization_fc1.0')
+    loc['fc2'] = _lin(sd, 'Transformation.LocalizationNetwork.localization_fc2')
+    params['loc'], stats['loc'] = loc, loc_s
+
+    rn, rn_s = {}, {}
+    cn = 'FeatureExtraction.ConvNet'
+    rn['stem1'], rn_s['stem1'] = _conv_bn(sd, f'{cn}.conv0_1', f'{cn}.bn0_1')
+    rn['stem2'], rn_s['stem2'] = _conv_bn(sd, f'{cn}.conv0_2', f'{cn}.bn0_2')
+    for name, n in [('layer1', 1), ('layer2', 2), ('layer3', 5), ('layer4', 3)]:
+        rn[name], rn_s[name] = _res_layer(sd, f'{cn}.{name}', n)
+    for name in ['conv1', 'conv2', 'conv3', 'conv4_1', 'conv4_2']:
+        rn[name], rn_s[name] = _conv_bn(sd, f'{cn}.{name}', f'{cn}.bn{name.removeprefix("conv")}')
+    params['resnet'], stats['resnet'] = rn, rn_s
+
+    params['rnn0'] = _bilstm(sd, 'SequenceModeling.0')
+    params['rnn1'] = _bilstm(sd, 'SequenceModeling.1')
+    if use_ctc or 'Prediction.weight' in sd:
+        params['pred'] = _lin(sd, 'Prediction')
+    else:
+        ac = 'Prediction.attention_cell'
+        params['pred'] = {
+            'i2h': _lin(sd, f'{ac}.i2h'),
+            'h2h': _lin(sd, f'{ac}.h2h'),
+            'score': _lin(sd, f'{ac}.score'),
+            'cell': {
+                'wih': jnp.asarray(_np(sd[f'{ac}.rnn.weight_ih']).T),
+                'whh': jnp.asarray(_np(sd[f'{ac}.rnn.weight_hh']).T),
+                'bih': jnp.asarray(_np(sd[f'{ac}.rnn.bias_ih'])),
+                'bhh': jnp.asarray(_np(sd[f'{ac}.rnn.bias_hh'])),
+            },
+            'generator': _lin(sd, 'Prediction.generator'),
+            'char_embeddings': {'w': jnp.asarray(_np(sd['Prediction.char_embeddings.weight']))},
+        }
+    return params, stats
+
+
+def convert_vitstr(sd):
+    """Reference ViTSTR (a timm ViT + head, flat keys) -> vitstr.init layout."""
+    head = _lin(sd, 'head')
+    enc = convert_vit_encoder({k: v for k, v in sd.items() if not k.startswith('head.')}, prefix='')
+    return {'encoder': enc, 'head': head}
 
 
 def convert_parseq(sd, dec_depth=None):

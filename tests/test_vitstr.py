@@ -1,0 +1,69 @@
+"""ViTSTR parity vs torch twin + loss sanity."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.models import vitstr
+from parseq_tpu.utils.torch_convert import convert_vitstr
+
+from .torch_twin import TwinViTSTR
+
+CFG = vitstr.ViTSTRConfig(
+    num_tokens=13, max_label_length=6, img_size=(32, 32), patch_size=(8, 8),
+    embed_dim=32, num_heads=4, depth=2,
+)
+
+
+def test_vitstr_parity():
+    torch.manual_seed(3)
+    twin = TwinViTSTR(num_tokens=CFG.num_tokens, max_label_length=CFG.max_label_length,
+                      img_size=CFG.img_size, patch_size=CFG.patch_size,
+                      d=CFG.embed_dim, heads=CFG.num_heads, depth=CFG.depth).eval()
+    params = convert_vitstr(dict(twin.state_dict()))
+    images = np.random.default_rng(0).standard_normal((2, 3, *CFG.img_size), dtype=np.float32)
+    want = twin(torch.from_numpy(images)).numpy()
+    got = np.asarray(vitstr.forward(params, CFG, jnp.asarray(images.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape == (2, CFG.max_label_length + 1, CFG.num_classes)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_vitstr_loss_decreases():
+    from parseq_tpu.data import Tokenizer
+
+    import optax
+
+    tok = Tokenizer('0123456789')
+    params = vitstr.init(jax.random.key(0), CFG)
+    images = np.random.default_rng(0).standard_normal((4, *CFG.img_size, 3)).astype(np.float32)
+    tgt = jnp.asarray(tok.encode(['12', '345', '6789', '0'], CFG.max_label_length))
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        (loss, _), g = jax.value_and_grad(
+            lambda p: vitstr.logits_loss(p, CFG, jnp.asarray(images), tgt)[1:], has_aux=True
+        )(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    losses = []
+    for _ in range(8):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_vitstr_registry():
+    from parseq_tpu.utils.registry import create_model
+
+    m = create_model('vitstr', dtype=jnp.float32, img_size=[32, 32], patch_size=[8, 8],
+                     depth=2, embed_dim=32, num_heads=4, max_label_length=6)
+    imgs = np.zeros((2, 32, 32, 3), np.float32)
+    labels, conf = m.read(imgs)
+    assert len(labels) == 2

@@ -40,21 +40,103 @@ class TwinViTBlock(nn.Module):
 class TwinEncoder(nn.Module):
     """timm-ViT-equivalent: patch conv + pos embed + blocks + final LN."""
 
-    def __init__(self, img_size, patch_size, d, depth, heads, mlp_ratio):
+    def __init__(self, img_size, patch_size, d, depth, heads, mlp_ratio, class_token=False):
         super().__init__()
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(3, d, patch_size, stride=patch_size)
         n = (img_size[0] // patch_size[0]) * (img_size[1] // patch_size[1])
+        if class_token:
+            self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 1e-6)
+            n += 1
+        else:
+            self.cls_token = None
         self.pos_embed = nn.Parameter(torch.randn(1, n, d) * 0.02)
         self.blocks = nn.ModuleList(TwinViTBlock(d, heads, mlp_ratio) for _ in range(depth))
         self.norm = nn.LayerNorm(d)
 
     def forward(self, x):  # x: (B, C, H, W)
         x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        if self.cls_token is not None:
+            x = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), x], dim=1)
         x = x + self.pos_embed
         for b in self.blocks:
             x = b(x)
         return self.norm(x)
+
+
+class TwinViTSTR(nn.Module):
+    """Reference ViTSTR twin: ViT with cls token + per-position head,
+    flat state_dict keys (patch_embed.*, blocks.*, head.*)."""
+
+    def __init__(self, num_tokens=97, max_label_length=25, img_size=(224, 224),
+                 patch_size=(16, 16), d=384, heads=6, depth=12, mlp_ratio=4):
+        super().__init__()
+        self.max_label_length = max_label_length
+        self._enc = TwinEncoder(img_size, patch_size, d, depth, heads, mlp_ratio, class_token=True)
+        # expose flat keys like the reference's inner ViT
+        self.patch_embed = self._enc.patch_embed
+        self.register_parameter('cls_token', self._enc.cls_token)
+        self.register_parameter('pos_embed', self._enc.pos_embed)
+        self.blocks = self._enc.blocks
+        self.norm = self._enc.norm
+        self.head = nn.Linear(d, num_tokens - 2)
+
+    def state_dict(self, *a, **k):
+        sd = super().state_dict(*a, **k)
+        return {key: v for key, v in sd.items() if not key.startswith('_enc.')}
+
+    @torch.no_grad()
+    def forward(self, images):
+        x = self._enc(images)
+        x = x[:, : self.max_label_length + 2]
+        logits = self.head(x)
+        return logits[:, 1:]  # drop class-token position (system.py:72-73)
+
+
+class TwinBiLSTM(nn.Module):
+    def __init__(self, input_size, hidden_size, output_size):
+        super().__init__()
+        self.rnn = nn.LSTM(input_size, hidden_size, bidirectional=True, batch_first=True)
+        self.linear = nn.Linear(hidden_size * 2, output_size)
+
+    def forward(self, x):
+        return self.linear(self.rnn(x)[0])
+
+
+class TwinCRNN(nn.Module):
+    """Reference CRNN twin: 7-conv VGG stack -> 2x BiLSTM, matching keys."""
+
+    def __init__(self, img_h=32, nc=3, nclass=37, nh=256, leaky_relu=False):
+        super().__init__()
+        ks = [3, 3, 3, 3, 3, 3, 2]
+        ps = [1, 1, 1, 1, 1, 1, 0]
+        nm = [64, 128, 256, 256, 512, 512, 512]
+        bns = [False, False, True, False, True, False, True]
+        cnn_seq = nn.Sequential()
+        cin = nc
+        for i in range(7):
+            cnn_seq.add_module(f'conv{i}', nn.Conv2d(cin, nm[i], ks[i], 1, ps[i], bias=not bns[i]))
+            if bns[i]:
+                cnn_seq.add_module(f'batchnorm{i}', nn.BatchNorm2d(nm[i]))
+            cnn_seq.add_module(f'relu{i}', nn.LeakyReLU(0.2) if leaky_relu else nn.ReLU())
+            if i == 0:
+                cnn_seq.add_module('pooling0', nn.MaxPool2d(2, 2))
+            elif i == 1:
+                cnn_seq.add_module('pooling1', nn.MaxPool2d(2, 2))
+            elif i == 3:
+                cnn_seq.add_module('pooling2', nn.MaxPool2d((2, 2), (2, 1), (0, 1)))
+            elif i == 5:
+                cnn_seq.add_module('pooling3', nn.MaxPool2d((2, 2), (2, 1), (0, 1)))
+            cin = nm[i]
+        self.cnn = cnn_seq
+        self.rnn = nn.Sequential(TwinBiLSTM(512, nh, nh), TwinBiLSTM(nh, nh, nclass))
+
+    @torch.no_grad()
+    def forward(self, x):
+        conv = self.cnn(x)
+        b, c, h, w = conv.size()
+        assert h == 1
+        return self.rnn(conv.squeeze(2).transpose(1, 2))
 
 
 class TwinDecoderLayer(nn.Module):
