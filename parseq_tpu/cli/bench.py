@@ -1,0 +1,94 @@
+"""Model benchmarking CLI (reference bench.py equivalent).
+
+Reports parameter count, XLA-derived FLOPs (HLO cost analysis — the
+TPU-native counterpart of fvcore's static analysis), and on-device latency
+(median + IQR over timed runs, pipelined with distinct inputs). `--sweep`
+sweeps max label length 1..25 step 4 like the reference's `+range=true`.
+
+Usage:
+    python -m parseq_tpu.cli.bench --model parseq [--batch_size 1] [--sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.ops.layers import count_params
+from parseq_tpu.utils.registry import create_model
+
+
+def time_forward(fwd, params, batches, trials=7):
+    times = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        outs = [fwd(params, b) for b in batches]
+        _ = float(jnp.stack([o.sum() for o in outs]).sum())
+        times.append((time.perf_counter() - t0) / len(batches))
+    med = statistics.median(times)
+    qs = statistics.quantiles(times, n=4)
+    return med, qs[2] - qs[0]
+
+
+def bench_model(name, batch_size=1, iters=8, trials=7, **kwargs):
+    model = create_model(name, **kwargs)
+    fwd = jax.jit(model.forward_fn)
+
+    h, w = model.img_size
+    keys = jax.random.split(jax.random.key(0), iters + 1)
+    batches = [jax.random.uniform(k, (batch_size, h, w, 3), jnp.float32) for k in keys]
+    _ = float(jnp.stack([b.sum() for b in batches]).sum())
+
+    lowered = fwd.lower(model.params, batches[0])
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    flops = cost.get('flops', float('nan'))
+
+    _ = float(fwd(model.params, batches[-1]).sum())  # warmup/compile
+    med, iqr = time_forward(fwd, model.params, batches[:iters], trials)
+
+    n_params = count_params(model.params)
+    return {
+        'model': model.name,
+        'params_M': round(n_params / 1e6, 3),
+        'flops_G': round(flops / 1e9, 3) if flops == flops else None,
+        'batch_size': batch_size,
+        'latency_ms_median': round(med * 1e3, 3),
+        'latency_ms_iqr': round(iqr * 1e3, 3),
+        'throughput_img_s': round(batch_size / med, 1),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='parseq')
+    ap.add_argument('--batch_size', type=int, default=1)
+    ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--trials', type=int, default=7)
+    ap.add_argument('--sweep', action='store_true', help='sweep label length 1..25 step 4')
+    args, unknown = ap.parse_known_args(argv)
+    from parseq_tpu.utils.config import parse_model_args
+
+    kwargs = parse_model_args(unknown)
+
+    import json
+
+    if args.sweep:
+        for L in range(1, 26, 4):
+            r = bench_model(args.model, args.batch_size, args.iters, args.trials,
+                            max_label_length=L, **kwargs)
+            r['max_label_length'] = L
+            print(json.dumps(r))
+    else:
+        print(json.dumps(bench_model(args.model, args.batch_size, args.iters,
+                                     args.trials, **kwargs)))
+
+
+if __name__ == '__main__':
+    main()

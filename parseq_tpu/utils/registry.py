@@ -166,7 +166,95 @@ def _build_crnn(model_cfg: dict, dtype=jnp.bfloat16):
     return cfg, tok, forward_fn, init_fn, convert_fn
 
 
-_BUILDERS = {'parseq': _build_parseq, 'vitstr': _build_vitstr, 'crnn': _build_crnn}
+def _build_trba(model_cfg: dict, dtype=jnp.bfloat16, use_ctc=False):
+    from parseq_tpu.models import trba
+
+    charset = model_cfg['charset_train']
+    tok = CTCTokenizer(charset) if use_ctc else Tokenizer(charset)
+    cfg = trba.TRBAConfig(
+        num_tokens=len(tok),
+        max_label_length=model_cfg.get('max_label_length', 25),
+        img_size=tuple(model_cfg.get('img_size', (32, 128))),
+        num_fiducial=model_cfg.get('num_fiducial', 20),
+        output_channel=model_cfg.get('output_channel', 512),
+        hidden_size=model_cfg.get('hidden_size', 256),
+        use_ctc=use_ctc,
+    )
+    constants = trba.tps_constants(cfg)
+
+    def forward_fn(tree, images):
+        logits, _ = trba.forward(tree['params'], tree['stats'], cfg, images,
+                                 dtype=dtype, constants=constants)
+        return logits
+
+    def init_fn(key):
+        params, stats = trba.init(key, cfg)
+        return {'params': params, 'stats': stats}
+
+    def convert_fn(sd):
+        from parseq_tpu.utils.torch_convert import convert_trba, strip_prefix
+
+        if any(k.startswith('model.') for k in sd):
+            sd = strip_prefix(sd, 'model.')
+        params, stats = convert_trba(sd, use_ctc=use_ctc)
+        return {'params': params, 'stats': stats}
+
+    return cfg, tok, forward_fn, init_fn, convert_fn
+
+
+def _build_abinet(model_cfg: dict, dtype=jnp.bfloat16):
+    from parseq_tpu.models import abinet
+
+    charset = model_cfg['charset_train']
+    tok = Tokenizer(charset)
+    cfg = abinet.ABINetConfig(
+        num_tokens=len(tok),
+        max_label_length=model_cfg.get('max_label_length', 25),
+        img_size=tuple(model_cfg.get('img_size', (32, 128))),
+        d_model=model_cfg.get('d_model', 512),
+        nhead=model_cfg.get('nhead', 8),
+        d_inner=model_cfg.get('d_inner', 2048),
+        dropout=model_cfg.get('dropout', 0.1),
+        activation=model_cfg.get('activation', 'relu'),
+        v_backbone=model_cfg.get('v_backbone', 'transformer'),
+        v_num_layers=model_cfg.get('v_num_layers', 3),
+        v_attention=model_cfg.get('v_attention', 'position'),
+        v_attention_mode=model_cfg.get('v_attention_mode', 'nearest'),
+        l_num_layers=model_cfg.get('l_num_layers', 4),
+        l_use_self_attn=model_cfg.get('l_use_self_attn', False),
+        l_detach=model_cfg.get('l_detach', True),
+        iter_size=model_cfg.get('iter_size', 3),
+        v_loss_weight=model_cfg.get('v_loss_weight', 1.0),
+        l_loss_weight=model_cfg.get('l_loss_weight', 1.0),
+        a_loss_weight=model_cfg.get('a_loss_weight', 1.0),
+    )
+
+    def forward_fn(tree, images):
+        return abinet.inference_logits(tree['params'], tree['stats'], cfg, images, dtype=dtype)
+
+    def init_fn(key):
+        params, stats = abinet.init(key, cfg)
+        return {'params': params, 'stats': stats}
+
+    def convert_fn(sd):
+        from parseq_tpu.utils.torch_convert import convert_abinet, strip_prefix
+
+        if any(k.startswith('model.') for k in sd):
+            sd = strip_prefix(sd, 'model.')
+        params, stats = convert_abinet(sd)
+        return {'params': params, 'stats': stats}
+
+    return cfg, tok, forward_fn, init_fn, convert_fn
+
+
+_BUILDERS = {
+    'parseq': _build_parseq,
+    'vitstr': _build_vitstr,
+    'crnn': _build_crnn,
+    'trba': _build_trba,
+    'trbc': lambda cfg, dtype=jnp.bfloat16: _build_trba(cfg, dtype, use_ctc=True),
+    'abinet': _build_abinet,
+}
 
 
 def create_model(experiment: str, *, seed: int = 0, dtype=jnp.bfloat16,

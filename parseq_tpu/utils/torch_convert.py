@@ -231,6 +231,85 @@ def convert_trba(sd, use_ctc=False):
     return params, stats
 
 
+def _abinet_r45(sd, prefix):
+    from parseq_tpu.models.abinet import _R45_BLOCKS
+
+    p = {'stem': {'conv': _conv2d(sd, f'{prefix}.conv1')}}
+    p['stem']['bn'], st = _bn(sd, f'{prefix}.bn1')
+    s = {'stem': st}
+    for li, n in enumerate(_R45_BLOCKS):
+        p[f'layer{li + 1}'], s[f'layer{li + 1}'] = _res_layer(sd, f'{prefix}.layer{li + 1}', n)
+    return p, s
+
+
+def _enc_layer_conv(sd, prefix):
+    return {
+        'self_attn': _mha(sd, f'{prefix}.self_attn'),
+        'linear1': _lin(sd, f'{prefix}.linear1'),
+        'linear2': _lin(sd, f'{prefix}.linear2'),
+        'norm1': _ln(sd, f'{prefix}.norm1'),
+        'norm2': _ln(sd, f'{prefix}.norm2'),
+    }
+
+
+def convert_abinet(sd):
+    """Reference ABINet state_dict -> (params, stats) for models/abinet.py."""
+    params, stats = {}, {}
+    # vision
+    vp, vs = {}, {}
+    vp['resnet'], vs['resnet'] = _abinet_r45(sd, 'vision.backbone.resnet')
+    n_tf = 1 + max((int(k.split('.')[4]) for k in sd
+                    if k.startswith('vision.backbone.transformer.layers.')), default=-1)
+    if n_tf > 0:
+        vp['transformer'] = [_enc_layer_conv(sd, f'vision.backbone.transformer.layers.{i}')
+                             for i in range(n_tf)]
+    if 'vision.attention.project.weight' in sd:  # PositionAttention
+        enc, enc_s, dec, dec_s = [], [], [], []
+        for i in range(4):
+            c = {'conv': _conv2d(sd, f'vision.attention.k_encoder.{i}.0')}
+            c['bn'], st = _bn(sd, f'vision.attention.k_encoder.{i}.1')
+            enc.append(c)
+            enc_s.append(st)
+            c = {'conv': _conv2d(sd, f'vision.attention.k_decoder.{i}.1')}
+            c['bn'], st = _bn(sd, f'vision.attention.k_decoder.{i}.2')
+            dec.append(c)
+            dec_s.append(st)
+        vp['attention'] = {'k_encoder': enc, 'k_decoder': dec,
+                           'project': _lin(sd, 'vision.attention.project')}
+        vs['attention'] = {'k_encoder': enc_s, 'k_decoder': dec_s}
+    else:  # sv Attention variant
+        vp['attention'] = {
+            'f0_embedding': {'w': jnp.asarray(_np(sd['vision.attention.f0_embedding.weight']))},
+            'w0': _lin(sd, 'vision.attention.w0'),
+            'wv': _lin(sd, 'vision.attention.wv'),
+            'we': _lin(sd, 'vision.attention.we'),
+        }
+    vp['cls'] = _lin(sd, 'vision.cls')
+    params['vision'], stats['vision'] = vp, vs
+
+    # language
+    n_l = 1 + max(int(k.split('.')[3]) for k in sd if k.startswith('language.model.layers.'))
+    lls = []
+    for i in range(n_l):
+        pfx = f'language.model.layers.{i}'
+        lp = {
+            'multihead_attn': _mha(sd, f'{pfx}.multihead_attn'),
+            'linear1': _lin(sd, f'{pfx}.linear1'),
+            'linear2': _lin(sd, f'{pfx}.linear2'),
+            'norm2': _ln(sd, f'{pfx}.norm2'),
+            'norm3': _ln(sd, f'{pfx}.norm3'),
+        }
+        if f'{pfx}.self_attn.in_proj_weight' in sd:
+            lp['self_attn'] = _mha(sd, f'{pfx}.self_attn')
+            lp['norm1'] = _ln(sd, f'{pfx}.norm1')
+        lls.append(lp)
+    params['language'] = {'proj': _lin(sd, 'language.proj'),
+                          'layers': lls, 'cls': _lin(sd, 'language.cls')}
+    params['alignment'] = {'w_att': _lin(sd, 'alignment.w_att'),
+                           'cls': _lin(sd, 'alignment.cls')}
+    return params, stats
+
+
 def convert_vitstr(sd):
     """Reference ViTSTR (a timm ViT + head, flat keys) -> vitstr.init layout."""
     head = _lin(sd, 'head')
