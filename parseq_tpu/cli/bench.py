@@ -72,11 +72,22 @@ def main(argv=None):
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--trials', type=int, default=7)
     ap.add_argument('--sweep', action='store_true', help='sweep label length 1..25 step 4')
+    ap.add_argument('--profile', default=None, metavar='DIR',
+                    help='capture a jax.profiler trace of the timed runs into DIR')
     args, unknown = ap.parse_known_args(argv)
     from parseq_tpu.utils.config import parse_model_args
 
     kwargs = parse_model_args(unknown)
 
+    import json
+    from contextlib import nullcontext
+
+    trace = jax.profiler.trace(args.profile) if args.profile else nullcontext()
+    with trace:
+        _run_bench(args, kwargs)
+
+
+def _run_bench(args, kwargs):
     import json
 
     if args.sweep:

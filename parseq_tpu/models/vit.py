@@ -112,8 +112,10 @@ def patch_embed(p, images, cfg: ViTConfig):
 
 
 def block_apply(p, x, num_heads):
+    from parseq_tpu.ops.attention import encoder_self_attention
+
     h = layer_norm(p['norm1'], x)
-    x = x + mha(p['attn'], h, h, h, num_heads=num_heads)
+    x = x + encoder_self_attention(p['attn'], h, num_heads)
     x = x + mlp(p['mlp'], layer_norm(p['norm2'], x))
     return x
 

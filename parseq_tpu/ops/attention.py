@@ -1,0 +1,126 @@
+"""Fused attention Pallas kernel for the ViT encoder hot path.
+
+The einsum attention path materializes (B, h, L, L) float32 score tensors in
+HBM — for PARSeq-S inference at batch 256 that is ~100 MB per layer written
+and re-read twice, ~14 GB of HBM traffic across the 12 encoder layers, which
+dominated the measured encoder time. With L = 256 the whole per-(batch, head)
+problem fits comfortably in VMEM, so a single-block fused kernel (load q/k/v
+tiles, compute scores + softmax + output entirely on-chip) removes that
+traffic; no streaming flash machinery is needed.
+
+Differentiable via custom_vjp: the backward pass recomputes with the plain
+einsum formulation (cheap at these sizes, and XLA fuses it well).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reference_attention(q, k, v, scale):
+    """(BH, L, dh) einsum attention, f32 softmax — ground truth for the kernel."""
+    s = jnp.einsum('bqd,bkd->bqk', q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('bqk,bkd->bqd', p.astype(v.dtype), v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pallas_attention(q, k, v, scale, heads_per_block=2, interpret=False):
+    """q, k, v: (BH, L, dh) -> (BH, L, dh)."""
+    BH, L, dh = q.shape
+    g = heads_per_block
+    while BH % g:
+        g -= 1
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for i in range(g):  # unrolled: g independent (L, dh) problems
+            qi = q_ref[i]
+            ki = k_ref[i]
+            vi = v_ref[i]
+            s = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+            o_ref[i] = jnp.dot(p, vi, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    spec = pl.BlockSpec((g, L, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH // g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * L * L * dh,
+            bytes_accessed=4 * BH * L * dh * q.dtype.itemsize,
+            transcendentals=BH * L * L,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, scale):
+    """Fused self/cross attention (no mask). q/k/v: (BH, L, dh)."""
+    return _pallas_attention(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _pallas_attention(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+# Kernel toggle: measured slower than XLA's einsum lowering at PARSeq-S
+# shapes on v5e so far (see bench history); flipped on only when it wins.
+USE_KERNEL = False
+
+
+def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
+    """Drop-in fused replacement for layers.mha(p, x, x, x) with no mask.
+
+    Falls back to the einsum path on non-TPU backends.
+    """
+    from parseq_tpu.ops import layers
+
+    use_kernel = USE_KERNEL if use_kernel is None else use_kernel
+    if not use_kernel or jax.default_backend() == 'cpu':
+        return layers.mha(p, x, x, x, num_heads=num_heads)
+    B, L, D = x.shape
+    dh = D // num_heads
+
+    def proj(pp, x):
+        return layers.linear(pp, x).reshape(B, L, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q = proj(p['q'], x).reshape(B * num_heads, L, dh)
+    k = proj(p['k'], x).reshape(B * num_heads, L, dh)
+    v = proj(p['v'], x).reshape(B * num_heads, L, dh)
+    o = fused_attention(q, k, v, 1.0 / math.sqrt(dh))
+    o = o.reshape(B, num_heads, L, dh).transpose(0, 2, 1, 3).reshape(B, L, D)
+    return layers.linear(p['out'], o)

@@ -2,7 +2,9 @@
 
 Replaces the reference's Lightning Trainer stack (train.py:53-108) with an
 explicit jit-compiled loop: batch sharded over the ('data',) mesh, params
-replicated, gradient psum inserted by XLA. Validation every
+replicated, gradient psum inserted by XLA. Supports every model family via
+train.families adapters (PARSeq perms, ViTSTR CE, CRNN/TRBC CTC, TRBA
+teacher forcing, ABINet staged pretrain->joint). Validation every
 `val_check_interval` steps computes accuracy/NED/loss over the val tree and
 drives ModelCheckpoint-style top-k retention on val_accuracy.
 """
@@ -21,10 +23,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from parseq_tpu.data.module import SceneTextDataModule
-from parseq_tpu.models import parseq
+from parseq_tpu.ops import ctc as ctc_ops
 from parseq_tpu.parallel import make_mesh
 from parseq_tpu.train import optim
 from parseq_tpu.train.evaluate import BatchResult, score_batch, summarize
+from parseq_tpu.train.families import get_family
+from parseq_tpu.train.steps import make_train_step
 from parseq_tpu.utils.checkpoint import save_checkpoint, save_topk
 from parseq_tpu.utils.registry import create_model
 
@@ -41,6 +45,11 @@ class JsonlLogger:
             f.write(json.dumps(kv) + '\n')
 
 
+def _as_tree(params):
+    return params if (isinstance(params, dict) and 'stats' in params and 'params' in params) else {
+        'params': params, 'stats': {}}
+
+
 def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
           max_steps: int | None = None, seed: int = 0):
     """Run training from a composed config dict (utils.config.compose())."""
@@ -52,11 +61,14 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     mcfg = config['model']
     dcfg = config['data']
     tcfg = config['trainer']
+    name = mcfg.get('name', 'parseq')
 
-    bundle = create_model(mcfg.get('name', 'parseq'), seed=seed, dtype=compute_dtype,
+    bundle = create_model(name, seed=seed, dtype=compute_dtype,
                           **{k: v for k, v in mcfg.items() if k != 'name'})
     cfg = bundle.cfg
     tok = bundle.tokenizer
+    family = get_family(name)
+    tree0 = _as_tree(bundle.params)
 
     dm = SceneTextDataModule(
         dcfg.get('root_dir', 'data'), dcfg.get('train_dir', 'real'),
@@ -86,45 +98,106 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         total_steps=total_steps, num_devices=n_devices,
         swa=tcfg.get('swa', True),
     )
-    tx, sched = optim.make_optimizer(ocfg, bundle.params)
-    state = {'params': bundle.params, 'opt_state': tx.init(bundle.params),
-             'step': jnp.zeros((), jnp.int32)}
+    # Optional pretrained weights (train.py:79-81): native ckpt or torch .pt.
+    if config.get('pretrained'):
+        from parseq_tpu.utils.registry import load_from_checkpoint
+
+        pre = load_from_checkpoint(config['pretrained'],
+                                   **{k: v for k, v in mcfg.items() if k != 'name'})
+        tree0 = _as_tree(pre.params)
+        log.info(f'loaded pretrained weights from {config["pretrained"]}')
+
+    is_abinet = 'abinet' in name
+    pretrain_frac = 8 / 18  # system.py:106-110
+    if is_abinet:
+        tx, sched = optim.make_abinet_optimizer(
+            ocfg, mcfg.get('l_lr', mcfg['lr']), int(pretrain_frac * total_steps),
+            tree0['params'])
+    else:
+        tx, sched = optim.make_optimizer(ocfg, tree0['params'])
+    state = {'params': tree0['params'], 'stats': tree0['stats'],
+             'opt_state': tx.init(tree0['params']), 'step': jnp.zeros((), jnp.int32)}
+
+    # Resume full training state (reference ckpt_path, train.py:96-108).
+    start_step = 0
+    resume = config.get('ckpt_path')
+    if resume:
+        from flax import serialization
+
+        with open(resume, 'rb') as f:
+            state = serialization.from_bytes(state, f.read())
+        start_step = int(state['step'])
+        log.info(f'resumed training state from {resume} at step {start_step}')
     state = jax.device_put(state, repl)
     swa_start = int(ocfg.swa_epoch_start * total_steps) if ocfg.swa else total_steps
     swa_state = None
 
-    from parseq_tpu.train.steps import make_train_step
+    # ABINet staged training: two compiled steps, switched on host by step
+    # count (abinet/system.py:106-110, 187-203).
+    steps_by_phase = {}
+    if is_abinet:
+        steps_by_phase[True] = make_train_step(family, cfg, tx, compute_dtype, pretraining=True)
+        steps_by_phase[False] = make_train_step(family, cfg, tx, compute_dtype, pretraining=False)
+    else:
+        steps_by_phase[False] = make_train_step(family, cfg, tx, compute_dtype)
 
-    train_step = jax.jit(
-        make_train_step(cfg, tx, compute_dtype),
-        in_shardings=(repl, data_sh, data_sh, repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
-    val_step = jax.jit(
-        lambda params, images, tgt: parseq.logits_loss(params, cfg, images, tgt, dtype=compute_dtype),
-        in_shardings=(repl, data_sh, data_sh),
-    )
+    def jit_step(fn):
+        # batch shardings are set per-array by device_put (data for batch-dim
+        # arrays, replicated for shared ones like perms) and inferred here.
+        return jax.jit(fn, in_shardings=(repl, None, repl), out_shardings=(repl, repl),
+                       donate_argnums=(0,))
+
+    jitted = {k: jit_step(v) for k, v in steps_by_phase.items()}
+    alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_steps
+
+    fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh))
 
     perm_rng = np.random.default_rng(seed)
     base_rng = jax.device_put(jax.random.key(seed), repl)
 
-    def validate(params):
+    def val_loss_from_logits(logits, labels, batch_size):
+        if family.val == 'ctc':
+            targets = tok.encode(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
+            lengths = tok.lengths(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
+            lp = jax.nn.log_softmax(logits, -1)
+            per = ctc_ops.ctc_loss(lp, jnp.asarray(targets), jnp.asarray(lengths),
+                                   reduction='none')
+            n = len(labels)
+            return float(jnp.sum(per[:n] / jnp.maximum(jnp.asarray(lengths[:n]), 1)) / max(n, 1)), n
+        # CE: targets aligned to logits positions
+        enc = tok.encode(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
+        T = logits.shape[1]
+        targets = jnp.asarray(enc[:, 1 : T + 1])
+        pad_id = len(tok) - 1
+        valid = (targets != pad_id) & (jnp.arange(batch_size)[:, None] < len(labels))
+        logp = jax.nn.log_softmax(logits, -1)
+        tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        numel = int(jnp.sum(valid))
+        return float(jnp.sum(nll * valid) / max(numel, 1)), numel
+
+    def validate(tree):
         total = BatchResult()
         for images, labels, valid in dm.val_dataloader():
-            tgt = tok.encode(labels + [''] * (images.shape[0] - len(labels)), cfg.max_label_length)
-            logits, loss, numel = val_step(params, jnp.asarray(images), jnp.asarray(tgt))
+            logits = fwd(_maybe_flatten(tree), jnp.asarray(images))
+            loss, numel = val_loss_from_logits(logits, labels, images.shape[0])
             probs = jax.nn.softmax(logits, axis=-1)
             total.add(score_batch(tok, bundle.charset_adapter, jax.device_get(probs),
-                                  labels, valid, float(loss), int(numel)))
+                                  labels, valid, loss, numel))
         res = summarize('val', total)
         val_loss = total.loss / max(total.loss_numel, 1)
         return res, val_loss
 
-    step = 0
+    def _maybe_flatten(tree):
+        # bundle.forward_fn takes either bare params or {'params','stats'}
+        if isinstance(bundle.params, dict) and 'stats' in bundle.params:
+            return {'params': tree['params'], 'stats': tree['stats']}
+        return tree['params']
+
+    step = start_step
     t_start = time.time()
     best_path = None
-    log.info(f'training: {total_steps} steps, {steps_per_epoch}/epoch, mesh={n_devices}dev')
+    log.info(f'training {name}: {total_steps} steps, {steps_per_epoch}/epoch, mesh={n_devices}dev')
     for epoch in range(10 ** 9):
         if step >= total_steps:
             break
@@ -132,15 +205,23 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         for bi, (images, labels, valid) in enumerate(train_loader):
             if step >= total_steps or bi >= steps_per_epoch:
                 break
-            tgt = tok.encode(labels, cfg.max_label_length)
-            perms = parseq.gen_tgt_perms(perm_rng, cfg)
-            state, metrics = train_step(
-                state,
-                jax.device_put(jnp.asarray(images), data_sh),
-                jax.device_put(jnp.asarray(tgt), data_sh),
-                jax.device_put(jnp.asarray(perms), repl),
-                base_rng,
-            )
+            pretraining = is_abinet and step < pretrain_frac * total_steps
+            if is_abinet and not pretraining and not alignment_reset_done:
+                # Reset alignment params once at the phase switch (system.py:197-201)
+                log.info('ABINet pretraining ends: resetting alignment model')
+                from parseq_tpu.models import abinet as abinet_mod
+
+                new_align = abinet_mod.alignment_init(jax.random.key(seed + 1), cfg)
+                params = dict(state['params'])
+                params['alignment'] = jax.device_put(new_align, repl)
+                state = dict(state, params=params)
+                alignment_reset_done = True
+            batch = {'images': jnp.asarray(images)}
+            batch.update({k: jnp.asarray(v) for k, v in
+                          family.prepare(tok, labels, cfg, perm_rng).items()})
+            batch = {k: jax.device_put(v, data_sh if v.shape[:1] == (images.shape[0],) else repl)
+                     for k, v in batch.items()}
+            state, metrics = jitted[pretraining if is_abinet else False](state, batch, base_rng)
             step += 1
             if step % 50 == 0 or step == 1:
                 m = jax.device_get(metrics)
@@ -148,21 +229,26 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
                          grad_norm=float(m['grad_norm']), lr=float(sched(step)),
                          wall=round(time.time() - t_start, 1))
             if step % val_interval == 0 or step == total_steps:
-                res, val_loss = validate(state['params'])
+                res, val_loss = validate(state)
                 jlog.log(step=step, val_accuracy=res.accuracy, val_NED=res.ned,
                          val_loss=float(val_loss), val_confidence=res.confidence)
                 log.info(f'step {step}: val_acc={res.accuracy:.2f} NED={res.ned:.2f} loss={val_loss:.4f}')
+                ckpt_tree = jax.device_get({'params': state['params'], 'stats': state['stats']})
                 best_path = save_topk(work_dir / 'checkpoints', step, res.accuracy,
-                                      jax.device_get(state['params']), cfg,
-                                      meta={'name': mcfg.get('name', 'parseq'),
-                                            'model_config': mcfg}, k=3)
+                                      _maybe_flatten(ckpt_tree), cfg,
+                                      meta={'name': name, 'model_config': mcfg}, k=3)
+                # Resumable full training state (params+stats+opt+step).
+                from flax import serialization
+
+                with open(work_dir / 'checkpoints' / 'train_state.ckpt', 'wb') as f:
+                    f.write(serialization.to_bytes(jax.device_get(state)))
             if ocfg.swa and step >= swa_start and (step - swa_start) % steps_per_epoch == 0:
                 if swa_state is None:
                     swa_state = optim.swa_init(state['params'])
                 swa_state = optim.swa_update(swa_state, state['params'])
 
     if swa_state is not None and int(jax.device_get(swa_state['n'])) > 0:
-        save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt',
-                        jax.device_get(swa_state['avg']), cfg,
-                        meta={'name': mcfg.get('name', 'parseq'), 'model_config': mcfg, 'swa': True})
+        tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(state['stats'])}
+        save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt', _maybe_flatten(tree), cfg,
+                        meta={'name': name, 'model_config': mcfg, 'swa': True})
     return state, best_path

@@ -97,6 +97,32 @@ def _no_decay_mask(params):
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def make_abinet_optimizer(cfg: OptimConfig, l_lr: float, pretrain_end: int, params):
+    """ABINet optimizer: the language model trains with its own LR during
+    pretraining; base LRs are unified when joint training starts
+    (abinet/system.py:122-140, 161-167)."""
+    main_sched = onecycle_schedule(cfg)
+    l_cfg = OptimConfig(**{**cfg.__dict__, 'lr': l_lr})
+    l_base = onecycle_schedule(l_cfg)
+
+    def l_sched(step):
+        return jnp.where(step < pretrain_end, l_base(step), main_sched(step))
+
+    def label_fn(params):
+        return {k: ('lm' if k == 'language' else 'rest') for k in params}
+
+    def adamw(sched):
+        return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=cfg.weight_decay,
+                           mask=None if not cfg.weight_decay else _no_decay_mask)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform({'lm': adamw(l_sched), 'rest': adamw(main_sched)}, label_fn),
+    )
+    return tx, main_sched
+
+
 def make_optimizer(cfg: OptimConfig, params):
     sched = onecycle_schedule(cfg)
     tx = optax.chain(

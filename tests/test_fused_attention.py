@@ -1,0 +1,48 @@
+"""Fused attention kernel vs einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.ops.attention import _pallas_attention, _reference_attention
+
+
+@pytest.mark.parametrize('bh,L,dh', [(4, 32, 16), (6, 64, 64), (3, 40, 32)])
+def test_kernel_matches_reference(bh, L, dh):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((bh, L, dh), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, L, dh), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, L, dh), dtype=np.float32))
+    scale = 1.0 / np.sqrt(dh)
+    want = _reference_attention(q, k, v, scale)
+    got = _pallas_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_custom_vjp_grads_match_reference():
+    from parseq_tpu.ops import attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 16, 8), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 16, 8), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 16, 8), dtype=np.float32))
+    scale = 1.0 / np.sqrt(8)
+
+    # patch the forward to interpret mode so grads flow on CPU
+    orig = attention._pallas_attention
+    attention.__dict__['_pallas_attention'] = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    try:
+        def f(q, k, v):
+            return jnp.sum(attention.fused_attention(q, k, v, scale) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(attention._reference_attention(q, k, v, scale) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    finally:
+        attention.__dict__['_pallas_attention'] = orig
