@@ -97,8 +97,92 @@ def _bwd(scale, res, g):
 fused_attention.defvjp(_fwd, _bwd)
 
 
-# Kernel toggle: measured slower than XLA's einsum lowering at PARSeq-S
-# shapes on v5e so far (see bench history); flipped on only when it wins.
+def _pallas_attention_nosplit(q, k, v, num_heads, scale, batch_block=2, interpret=False):
+    """Fused attention on the un-split (B, L, D) layout.
+
+    Avoids the (B, L, h, dh) <-> (B, h, L, dh) transposes around the kernel
+    (XLA cannot fuse transposes into a pallas_call, so they materialize ~3
+    full activation tensors per layer). Heads are sliced as lane sub-ranges
+    inside the kernel; the head loop is unrolled.
+    """
+    B, L, D = q.shape
+    dh = D // num_heads
+    bb = batch_block
+    while B % bb:
+        bb -= 1
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for b in range(bb):
+            for i in range(num_heads):
+                sl = slice(i * dh, (i + 1) * dh)
+                qi = q_ref[b, :, sl]
+                ki = k_ref[b, :, sl]
+                vi = v_ref[b, :, sl]
+                s = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+                o_ref[b, :, sl] = jnp.dot(p, vi, preferred_element_type=jnp.float32
+                                          ).astype(o_ref.dtype)
+
+    spec = pl.BlockSpec((bb, L, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * L * L * dh,
+            bytes_accessed=4 * B * L * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * L * L,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_nosplit(q, k, v, num_heads, scale):
+    """Fused multi-head self attention on (B, L, D), no mask."""
+    return _pallas_attention_nosplit(q, k, v, num_heads, scale)
+
+
+def _reference_nosplit(q, k, v, num_heads, scale):
+    B, L, D = q.shape
+    dh = D // num_heads
+
+    def split(x):
+        return x.reshape(B, L, num_heads, dh).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum('bhqd,bhkd->bhqk', split(q), split(k),
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), split(v))
+    return o.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def _ns_fwd(q, k, v, num_heads, scale):
+    return _pallas_attention_nosplit(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _ns_bwd(num_heads, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_nosplit(q, k, v, num_heads, scale), q, k, v)
+    return vjp(g)
+
+
+fused_attention_nosplit.defvjp(_ns_fwd, _ns_bwd)
+
+
+# Kernel toggle. Measured on v5e-1, PARSeq-S encoder, batch 256 (pipelined):
+#   einsum path          20.4 ms / batch
+#   kernel v1 (head-split layout + transposes)   regressed end-to-end
+#   kernel v2 (no-split)  24.1 ms / batch
+# Standalone, the kernel beats a standalone einsum attention by >10x, but
+# in-model XLA fuses the einsum chain well enough that the pallas call (an
+# optimization barrier) loses. Keeping the kernel for future block-level
+# fusion work; default off.
 USE_KERNEL = False
 
 
@@ -112,15 +196,10 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     use_kernel = USE_KERNEL if use_kernel is None else use_kernel
     if not use_kernel or jax.default_backend() == 'cpu':
         return layers.mha(p, x, x, x, num_heads=num_heads)
-    B, L, D = x.shape
+    D = x.shape[-1]
     dh = D // num_heads
-
-    def proj(pp, x):
-        return layers.linear(pp, x).reshape(B, L, num_heads, dh).transpose(0, 2, 1, 3)
-
-    q = proj(p['q'], x).reshape(B * num_heads, L, dh)
-    k = proj(p['k'], x).reshape(B * num_heads, L, dh)
-    v = proj(p['v'], x).reshape(B * num_heads, L, dh)
-    o = fused_attention(q, k, v, 1.0 / math.sqrt(dh))
-    o = o.reshape(B, num_heads, L, dh).transpose(0, 2, 1, 3).reshape(B, L, D)
+    q = layers.linear(p['q'], x)
+    k = layers.linear(p['k'], x)
+    v = layers.linear(p['v'], x)
+    o = fused_attention_nosplit(q, k, v, num_heads, 1.0 / math.sqrt(dh))
     return layers.linear(p['out'], o)

@@ -46,3 +46,32 @@ def test_custom_vjp_grads_match_reference():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     finally:
         attention.__dict__['_pallas_attention'] = orig
+
+
+@pytest.mark.parametrize('B,L,h,D', [(4, 32, 4, 64), (3, 40, 2, 32)])
+def test_nosplit_kernel_matches_reference(B, L, h, D):
+    from parseq_tpu.ops.attention import _pallas_attention_nosplit, _reference_nosplit
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, L, D), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, D), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, D), dtype=np.float32))
+    scale = 1.0 / np.sqrt(D // h)
+    want = _reference_nosplit(q, k, v, h, scale)
+    got = _pallas_attention_nosplit(q, k, v, h, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_nosplit_reference_equals_mha_math():
+    """_reference_nosplit must equal layers.mha's attention core."""
+    from parseq_tpu.ops import layers
+    from parseq_tpu.ops.attention import _reference_nosplit
+
+    rng = np.random.default_rng(3)
+    B, L, D, h = 2, 10, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D), dtype=np.float32))
+    p = layers.mha_init(jax.random.key(0), D)
+    want = layers.mha(p, x, x, x, num_heads=h)
+    q, k, v = (layers.linear(p[n], x) for n in 'qkv')
+    got = layers.linear(p['out'], _reference_nosplit(q, k, v, h, 1.0 / np.sqrt(D // h)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

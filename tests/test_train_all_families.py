@@ -9,18 +9,18 @@ import jax.numpy as jnp
 
 from .test_train_loop import data_root  # noqa: F401  (fixture)
 
-BASE_DATA = dict(train_dir='real', num_workers=0, augment=False, batch_size=8)
-BASE_TRAINER = dict(max_epochs=1, val_check_interval=4, gradient_clip_val=20,
+BASE_DATA = dict(train_dir='real', num_workers=0, augment=False, batch_size=4)
+BASE_TRAINER = dict(max_epochs=1, val_check_interval=2, gradient_clip_val=20,
                     devices=2, swa=False)
 CHARSET = 'abcdefghijklmnopqrstuvwxyz'
 
 
-def _run(data_root, tmp_path, model_cfg, steps=4):  # noqa: F811
+def _run(data_root, tmp_path, model_cfg, steps=2):  # noqa: F811
     from parseq_tpu.train.loop import train
 
     config = {
         'model': dict(charset_train=CHARSET, charset_test=CHARSET,
-                      max_label_length=7, batch_size=8, weight_decay=0.0,
+                      max_label_length=7, batch_size=4, weight_decay=0.0,
                       warmup_pct=0.2, **model_cfg),
         'data': dict(root_dir=str(data_root), **BASE_DATA),
         'trainer': dict(BASE_TRAINER),
@@ -66,12 +66,12 @@ def test_train_trbc(data_root, tmp_path):  # noqa: F811
 
 
 def test_train_abinet_staged(data_root, tmp_path):  # noqa: F811
-    # 8 steps: pretrain phase covers ~first 44%, so the run crosses the
+    # 4 steps: pretrain phase covers ~first 44%, so the run crosses the
     # phase switch and exercises the alignment reset.
     _run(data_root, tmp_path, dict(
-        name='abinet', lr=3e-4, l_lr=3e-4, img_size=[32, 128], d_model=512,
+        name='abinet', lr=3e-4, l_lr=3e-4, img_size=[32, 32], d_model=512,
         nhead=4, d_inner=64, v_num_layers=1, l_num_layers=1, iter_size=1,
         activation='relu', v_backbone='transformer', v_attention='position',
         v_attention_mode='nearest', l_use_self_attn=False, l_detach=True,
         a_loss_weight=1.0, v_loss_weight=1.0, l_loss_weight=1.0, dropout=0.1),
-        steps=8)
+        steps=4)

@@ -39,20 +39,20 @@ def test_train_smoke(data_root, tmp_path):
             'max_label_length': 7,
             'charset_train': 'abcdefghijklmnopqrstuvwxyz',
             'charset_test': 'abcdefghijklmnopqrstuvwxyz',
-            'batch_size': 8, 'lr': 3e-4, 'weight_decay': 0.0, 'warmup_pct': 0.2,
+            'batch_size': 4, 'lr': 3e-4, 'weight_decay': 0.0, 'warmup_pct': 0.2,
             'embed_dim': 32, 'enc_num_heads': 2, 'enc_mlp_ratio': 2, 'enc_depth': 1,
             'dec_num_heads': 4, 'dec_mlp_ratio': 2, 'dec_depth': 1,
             'perm_num': 6, 'perm_forward': True, 'perm_mirrored': True,
             'dropout': 0.1, 'decode_ar': False, 'refine_iters': 0,
         },
         'data': {'root_dir': str(data_root), 'train_dir': 'real', 'num_workers': 0,
-                 'augment': False, 'batch_size': 8},
-        'trainer': {'max_epochs': 2, 'val_check_interval': 8,
-                    'gradient_clip_val': 20, 'devices': 4, 'swa': True},
+                 'augment': False, 'batch_size': 4},
+        'trainer': {'max_epochs': 2, 'val_check_interval': 3,
+                    'gradient_clip_val': 20, 'devices': 2, 'swa': True},
     }
     import jax.numpy as jnp
 
-    state, best = train(config, tmp_path / 'run', compute_dtype=jnp.float32, max_steps=16)
+    state, best = train(config, tmp_path / 'run', compute_dtype=jnp.float32, max_steps=6)
     assert best is not None and best.exists()
 
     metrics = [json.loads(l) for l in open(tmp_path / 'run' / 'metrics.jsonl')]
