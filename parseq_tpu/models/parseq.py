@@ -217,11 +217,18 @@ def _causal_bias(n, dtype=jnp.float32):
     return jnp.where(r[None, :] > r[:, None], NEG_INF, 0.0).astype(dtype)
 
 
-def ar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
-    """Greedy left-to-right AR decode as a lax.scan (model.py:119-147).
+def ar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32, early_exit=False):
+    """Greedy left-to-right AR decode (model.py:119-147).
 
-    Fixed trip count = num_steps; the content buffer holds [BOS, tok_1, ...]
-    and each step queries one position with keys limited to the prefix.
+    Fixed-shape device loop; the content buffer holds [BOS, tok_1, ...] and
+    each step queries one position with keys limited to the prefix.
+
+    early_exit=True reproduces the reference's test-time batch early exit
+    (model.py:144-145: stop once every row has emitted an EOS) as a
+    lax.while_loop — on real text this cuts the 26 sequential steps to
+    roughly max-word-length + 2. Decoded strings and per-string confidences
+    are identical either way (positions past a row's first EOS are never
+    read by the tokenizer).
     """
     B = memory.shape[0]
     n = cfg.num_steps
@@ -246,8 +253,26 @@ def ar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
         tgt_in = jax.lax.dynamic_update_slice_in_dim(tgt_in, col[:, None], j, axis=1)
         return tgt_in, logits_i
 
-    _, logits = jax.lax.scan(step, tgt_init, jnp.arange(n))
-    return logits.transpose(1, 0, 2)  # (B, n, C)
+    if not early_exit:
+        _, logits = jax.lax.scan(step, tgt_init, jnp.arange(n))
+        return logits.transpose(1, 0, 2)  # (B, n, C)
+
+    logits_init = jnp.zeros((B, n, cfg.num_classes), jnp.float32)
+
+    def cond(carry):
+        i, tgt_in, _ = carry
+        done = jnp.all(jnp.any(tgt_in == cfg.eos_id, axis=-1))
+        return jnp.logical_and(i < n, jnp.logical_not(done))
+
+    def body(carry):
+        i, tgt_in, logits = carry
+        tgt_in, logits_i = step(tgt_in, i)
+        logits = jax.lax.dynamic_update_slice_in_dim(
+            logits, logits_i.astype(jnp.float32)[:, None], i, axis=1)
+        return i + 1, tgt_in, logits
+
+    _, _, logits = jax.lax.while_loop(cond, body, (jnp.int32(0), tgt_init, logits_init))
+    return logits
 
 
 def nar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
@@ -285,18 +310,19 @@ def refine(params, cfg: PARSeqConfig, memory, logits, dtype=jnp.float32):
     return logits
 
 
-def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32):
+def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=False):
     """Full inference: encode -> AR or NAR decode -> refinement.
 
     Always decodes the full num_steps positions (static shape); the
     reference's optional `max_length` shortening (model.py:106-110) only
     trims compute, never changes decoded strings, because the tokenizer
-    truncates at the first EOS.
+    truncates at the first EOS. `early_exit` enables the reference's
+    test-time batch early exit in the AR loop (see ar_decode).
     """
     images = images.astype(dtype)
     memory = encode(params, cfg, images)
     if cfg.decode_ar:
-        logits = ar_decode(params, cfg, memory, dtype)
+        logits = ar_decode(params, cfg, memory, dtype, early_exit=early_exit)
     else:
         logits = nar_decode(params, cfg, memory, dtype)
     if cfg.refine_iters:

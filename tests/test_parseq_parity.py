@@ -155,3 +155,23 @@ def test_multi_perm_loss_runs_and_is_finite(twin_and_params, images):
     chars = 3 + 7
     want = (chars + 2) * 2 + chars * (CFG.perm_num - 2)
     assert int(numel) == want
+
+
+def test_ar_early_exit_matches_scan(twin_and_params, images):
+    """while_loop early-exit AR decode decodes the same strings as full scan."""
+    import jax
+
+    _, params = twin_and_params
+    from parseq_tpu.data import Tokenizer
+
+    memory = parseq.encode(params, CFG, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    full = parseq.ar_decode(params, CFG, memory)
+    early = jax.jit(lambda m: parseq.ar_decode(params, CFG, m, early_exit=True))(memory)
+    tok = Tokenizer('0123456789')
+    import numpy as np
+
+    p_full, c_full = tok.decode(np.asarray(jax.nn.softmax(full, -1)))
+    p_early, c_early = tok.decode(np.asarray(jax.nn.softmax(early, -1)))
+    assert p_full == p_early
+    for a, b in zip(c_full, c_early):
+        np.testing.assert_allclose(a, b, atol=1e-5)
