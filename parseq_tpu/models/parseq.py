@@ -275,6 +275,102 @@ def ar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32, early_exit=F
     return logits
 
 
+def ar_decode_kvcache(params, cfg: PARSeqConfig, memory, dtype=jnp.float32, early_exit=False):
+    """KV-cached greedy AR decode for dec_depth == 1 (PARSeq-S/Ti/224).
+
+    Mathematically identical to ar_decode: with a single decoder layer the
+    content stream is never transformer-updated (modules.py:119-123), so the
+    self-attention keys/values of content position j depend only on token j.
+    Each step therefore projects ONE new content row instead of re-projecting
+    all num_steps rows — removes ~2 * n * B * n * D^2 redundant FLOPs — and
+    the cross-attention K/V of `memory` are hoisted out of the loop.
+    """
+    assert cfg.dec_depth == 1, 'KV cache fast path requires dec_depth == 1'
+    lp = params['decoder']['layers'][0]
+    B = memory.shape[0]
+    n = cfg.num_steps
+    D = cfg.embed_dim
+    h = cfg.dec_num_heads
+    dh = D // h
+    scale = math.sqrt(D)
+
+    pos_queries = params['pos_queries'].astype(dtype)  # (1, n, D)
+    emb_table = params['text_embed']['w'].astype(dtype)  # (num_tokens, D)
+
+    # Hoisted cross-attention K/V of memory.
+    mem_k = linear(lp['cross_attn']['k'], memory).reshape(B, -1, h, dh)
+    mem_v = linear(lp['cross_attn']['v'], memory).reshape(B, -1, h, dh)
+
+    def content_row(tok_ids, j):
+        """Content-stream K/V for one token at position j (j==0 -> BOS, no pos)."""
+        emb = scale * emb_table[tok_ids]  # (B, D)
+        pos = jax.lax.dynamic_slice_in_dim(pos_queries[0], jnp.maximum(j - 1, 0), 1, 0)[0]
+        emb = jnp.where(j > 0, emb + pos.astype(dtype), emb)
+        cn = layer_norm(lp['norm_c'], emb)
+        k = linear(lp['self_attn']['k'], cn).reshape(B, h, dh)
+        v = linear(lp['self_attn']['v'], cn).reshape(B, h, dh)
+        return k, v
+
+    def step(carry, i):
+        k_cache, v_cache, tok = carry  # caches: (B, n, h, dh); tok: (B,) last token
+        k_new, v_new = content_row(tok, i)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new[:, None], i, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new[:, None], i, axis=1)
+
+        q = jax.lax.dynamic_slice_in_dim(pos_queries, i, 1, axis=1)
+        q = jnp.broadcast_to(q, (B, 1, D))
+        qn = layer_norm(lp['norm_q'], q)
+        qh = linear(lp['self_attn']['q'], qn).reshape(B, 1, h, dh)
+        # self-attn over cached content rows 0..i
+        s = jnp.einsum('bqhd,bkhd->bhqk', qh, k_cache,
+                       preferred_element_type=jnp.float32) / math.sqrt(dh)
+        s = s + jnp.where(jnp.arange(n)[None, None, None, :] <= i, 0.0, NEG_INF)
+        a = jax.nn.softmax(s, axis=-1).astype(dtype)
+        sa = jnp.einsum('bhqk,bkhd->bqhd', a, v_cache).reshape(B, 1, D)
+        tgt = q + linear(lp['self_attn']['out'], sa)
+        # cross-attn to memory (hoisted K/V)
+        cq = linear(lp['cross_attn']['q'], layer_norm(lp['norm1'], tgt)).reshape(B, 1, h, dh)
+        cs = jnp.einsum('bqhd,bkhd->bhqk', cq, mem_k,
+                        preferred_element_type=jnp.float32) / math.sqrt(dh)
+        ca = jax.nn.softmax(cs, axis=-1).astype(dtype)
+        co = jnp.einsum('bhqk,bkhd->bqhd', ca, mem_v).reshape(B, 1, D)
+        tgt = tgt + linear(lp['cross_attn']['out'], co)
+        # MLP
+        hdn = layers.gelu(linear(lp['linear1'], layer_norm(lp['norm2'], tgt)))
+        tgt = tgt + linear(lp['linear2'], hdn)
+        out = layer_norm(params['decoder']['norm'], tgt)
+        logits_i = head(params, out)[:, 0]
+        nxt = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+        return (k_cache, v_cache, nxt), logits_i
+
+    init = (
+        jnp.zeros((B, n, h, dh), dtype),
+        jnp.zeros((B, n, h, dh), dtype),
+        jnp.full((B,), cfg.bos_id, jnp.int32),  # token entering at position 0 = BOS
+    )
+    if not early_exit:
+        _, logits = jax.lax.scan(step, init, jnp.arange(n))
+        return logits.transpose(1, 0, 2)
+
+    logits_init = jnp.zeros((B, n, cfg.num_classes), jnp.float32)
+
+    def cond(carry):
+        i, st, _, seen_eos = carry
+        return jnp.logical_and(i < n, jnp.logical_not(jnp.all(seen_eos)))
+
+    def body(carry):
+        i, st, logits, seen_eos = carry
+        st, logits_i = step(st, i)
+        seen_eos = seen_eos | (st[2] == cfg.eos_id)
+        logits = jax.lax.dynamic_update_slice_in_dim(
+            logits, logits_i.astype(jnp.float32)[:, None], i, axis=1)
+        return i + 1, st, logits, seen_eos
+
+    seen0 = jnp.zeros((B,), bool)
+    _, _, logits, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), init, logits_init, seen0))
+    return logits
+
+
 def nar_decode(params, cfg: PARSeqConfig, memory, dtype=jnp.float32):
     """Single parallel decode with BOS-only context (model.py:149-152)."""
     B = memory.shape[0]
@@ -322,6 +418,10 @@ def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=Fal
     images = images.astype(dtype)
     memory = encode(params, cfg, images)
     if cfg.decode_ar:
+        # Note: ar_decode_kvcache removes ~200 GFLOP of redundant projection
+        # work but measured *slower* on v5e-1 at batch 256 (6.7k vs 7.3k
+        # img/s): the AR loop is op-dispatch-bound, not FLOP-bound, and the
+        # cache updates add small ops to the step body. The plain scan wins.
         logits = ar_decode(params, cfg, memory, dtype, early_exit=early_exit)
     else:
         logits = nar_decode(params, cfg, memory, dtype)

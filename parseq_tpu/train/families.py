@@ -135,7 +135,7 @@ def _abinet_res_loss(res_list, targets, cfg):
     return loss / len(res_list), numel
 
 
-def _abinet_loss(params, stats, cfg, batch, rng, dtype, *, pretraining=False):
+def _abinet_loss(params, stats, cfg, batch, rng, dtype, *, pretraining=False, lm_only=False):
     from parseq_tpu.models import abinet
 
     images = batch['images'].astype(dtype)
@@ -143,6 +143,15 @@ def _abinet_loss(params, stats, cfg, batch, rng, dtype, *, pretraining=False):
     onehot = jax.nn.one_hot(batch['lm_inputs'], cfg.num_classes, dtype=dtype)
     rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
     drop = cfg.dropout
+
+    if lm_only:
+        # Train the BCN LM alone on ground-truth inputs (system.py:100-104,
+        # 183-185); vision/alignment receive no gradient (their params are
+        # untouched by this loss).
+        l_res = abinet.language_forward(params['language'], cfg, onehot,
+                                        batch['lengths'], drop=drop, rng=rngs[1])
+        loss, numel = _abinet_res_loss(l_res, targets, cfg)
+        return cfg.l_loss_weight * loss, stats, numel
 
     if pretraining:
         # Independent submodel training (system.py:187-195)

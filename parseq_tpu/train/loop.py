@@ -135,7 +135,11 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     # ABINet staged training: two compiled steps, switched on host by step
     # count (abinet/system.py:106-110, 187-203).
     steps_by_phase = {}
-    if is_abinet:
+    lm_only = bool(mcfg.get('lm_only')) and is_abinet
+    if lm_only:
+        steps_by_phase[False] = make_train_step(family, cfg, tx, compute_dtype, lm_only=True)
+        is_abinet = False  # no phase switching in lm_only mode
+    elif is_abinet:
         steps_by_phase[True] = make_train_step(family, cfg, tx, compute_dtype, pretraining=True)
         steps_by_phase[False] = make_train_step(family, cfg, tx, compute_dtype, pretraining=False)
     else:
@@ -223,7 +227,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
                      for k, v in batch.items()}
             state, metrics = jitted[pretraining if is_abinet else False](state, batch, base_rng)
             step += 1
-            if step % 50 == 0 or step == 1:
+            if step % 50 == 0 or step == start_step + 1:
                 m = jax.device_get(metrics)
                 jlog.log(step=step, epoch=epoch, loss=float(m['loss']),
                          grad_norm=float(m['grad_norm']), lr=float(sched(step)),

@@ -175,3 +175,33 @@ def test_ar_early_exit_matches_scan(twin_and_params, images):
     assert p_full == p_early
     for a, b in zip(c_full, c_early):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_ar_kvcache_matches_scan(images):
+    """KV-cached AR decode (dec_depth=1) must match the generic scan decode."""
+    import jax
+    import torch
+
+    from .torch_twin import TwinPARSeq
+
+    cfg1 = parseq.PARSeqConfig(**{**CFG.__dict__, 'dec_depth': 1})
+    torch.manual_seed(9)
+    twin = TwinPARSeq(
+        num_tokens=cfg1.num_tokens, max_label_length=cfg1.max_label_length,
+        img_size=cfg1.img_size, patch_size=cfg1.patch_size, d=cfg1.embed_dim,
+        enc_heads=cfg1.enc_num_heads, enc_mlp=4, enc_depth=cfg1.enc_depth,
+        dec_heads=cfg1.dec_num_heads, dec_mlp=4, dec_depth=1,
+    ).eval()
+    params = convert_parseq(dict(twin.state_dict()))
+    memory = parseq.encode(params, cfg1, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    want = parseq.ar_decode(params, cfg1, memory)
+    got = parseq.ar_decode_kvcache(params, cfg1, memory)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    got_early = jax.jit(
+        lambda m: parseq.ar_decode_kvcache(params, cfg1, m, early_exit=True))(memory)
+    from parseq_tpu.data import Tokenizer
+
+    tok = Tokenizer('0123456789')
+    p1, _ = tok.decode(np.asarray(jax.nn.softmax(want, -1)))
+    p2, _ = tok.decode(np.asarray(jax.nn.softmax(got_early, -1)))
+    assert p1 == p2

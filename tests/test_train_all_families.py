@@ -50,18 +50,18 @@ def test_train_vitstr(data_root, tmp_path):  # noqa: F811
 
 def test_train_crnn(data_root, tmp_path):  # noqa: F811
     _run(data_root, tmp_path, dict(
-        name='crnn', lr=3e-4, img_size=[32, 128], hidden_size=16, leaky_relu=False))
+        name='crnn', lr=3e-4, img_size=[32, 64], hidden_size=16, leaky_relu=False))
 
 
 def test_train_trba(data_root, tmp_path):  # noqa: F811
     _run(data_root, tmp_path, dict(
-        name='trba', lr=3e-4, img_size=[32, 128], num_fiducial=6,
+        name='trba', lr=3e-4, img_size=[32, 64], num_fiducial=6,
         output_channel=32, hidden_size=16))
 
 
 def test_train_trbc(data_root, tmp_path):  # noqa: F811
     _run(data_root, tmp_path, dict(
-        name='trbc', lr=3e-4, img_size=[32, 128], num_fiducial=6,
+        name='trbc', lr=3e-4, img_size=[32, 64], num_fiducial=6,
         output_channel=32, hidden_size=16))
 
 
@@ -69,7 +69,7 @@ def test_train_abinet_staged(data_root, tmp_path):  # noqa: F811
     # 4 steps: pretrain phase covers ~first 44%, so the run crosses the
     # phase switch and exercises the alignment reset.
     _run(data_root, tmp_path, dict(
-        name='abinet', lr=3e-4, l_lr=3e-4, img_size=[32, 32], d_model=512,
+        name='abinet', lr=3e-4, l_lr=3e-4, img_size=[32, 64], d_model=512,
         nhead=4, d_inner=64, v_num_layers=1, l_num_layers=1, iter_size=1,
         activation='relu', v_backbone='transformer', v_attention='position',
         v_attention_mode='nearest', l_use_self_attn=False, l_detach=True,

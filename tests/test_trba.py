@@ -28,7 +28,7 @@ def test_grid_sample_matches_torch():
 @pytest.fixture(scope='module')
 def twin_and_params():
     torch.manual_seed(11)
-    twin = TwinTRBA(num_class=15, img_size=(32, 64), F_fid=6, oc=64, nh=32,
+    twin = TwinTRBA(num_class=15, img_size=(32, 64), F_fid=6, oc=32, nh=16,
                     max_label_length=6, num_char_embeddings=16).eval()
     params, stats = convert_trba(dict(twin.state_dict()))
     return twin, params, stats
@@ -37,7 +37,7 @@ def twin_and_params():
 @pytest.fixture(scope='module')
 def cfg():
     return trba.TRBAConfig(num_tokens=15, max_label_length=6, img_size=(32, 64),
-                           num_fiducial=6, output_channel=64, hidden_size=32,
+                           num_fiducial=6, output_channel=32, hidden_size=16,
                            num_char_embeddings=16)
 
 
@@ -78,11 +78,11 @@ def test_trba_teacher_forced_parity(twin_and_params, cfg, images):
 
 def test_trbc_parity(images):
     torch.manual_seed(12)
-    twin = TwinTRBA(num_class=13, img_size=(32, 64), F_fid=6, oc=64, nh=32,
+    twin = TwinTRBA(num_class=13, img_size=(32, 64), F_fid=6, oc=32, nh=16,
                     max_label_length=6, use_ctc=True).eval()
     params, stats = convert_trba(dict(twin.state_dict()), use_ctc=True)
     cfg = trba.TRBAConfig(num_tokens=13, max_label_length=6, img_size=(32, 64),
-                          num_fiducial=6, output_channel=64, hidden_size=32, use_ctc=True)
+                          num_fiducial=6, output_channel=32, hidden_size=16, use_ctc=True)
     want = twin(torch.from_numpy(images)).numpy()
     got, _ = trba.forward(params, stats, cfg, jnp.asarray(images.transpose(0, 2, 3, 1)))
     assert got.shape == want.shape
