@@ -121,3 +121,34 @@ def test_datamodule_test_loaders(tmp_path):
     imgs, labels, valid = next(iter(loaders['IIIT5k']))
     assert imgs.shape == (2, 32, 128, 3)
     assert labels == ['abc', 'de']
+
+
+def test_read_cli_on_demo_images(tmp_path):
+    """End-to-end read CLI on the real demo images (fresh tiny model)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from parseq_tpu.utils.checkpoint import save_checkpoint
+    from parseq_tpu.utils.registry import create_model
+
+    demo = sorted(str(p) for p in Path('/root/reference/demo_images').glob('*'))[:2]
+    if not demo:
+        import pytest
+
+        pytest.skip('demo images unavailable')
+    m = create_model('parseq-tiny', dtype=jnp.float32, enc_depth=1, embed_dim=48,
+                     enc_num_heads=3, dec_num_heads=6, max_label_length=5)
+    ckpt = tmp_path / 'tiny.ckpt'
+    save_checkpoint(ckpt, m.params, m.cfg,
+                    meta={'name': 'parseq-tiny', 'model_config': m.raw_config})
+    r = subprocess.run(
+        [sys.executable, '-m', 'parseq_tpu.cli.read', str(ckpt), '--images', *demo],
+        capture_output=True, text=True, cwd=Path(__file__).resolve().parents[1],
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'},
+    )
+    assert r.returncode == 0, r.stderr
+    for p in demo:
+        assert p in r.stdout
