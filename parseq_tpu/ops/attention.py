@@ -193,6 +193,12 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     """
     from parseq_tpu.ops import layers
 
+    # Perf notes (v5e-1, PARSeq-S encoder, batch 256, pipelined ms/batch):
+    #   separate q/k/v projections + einsum attention (this path)   20.4
+    #   merged (D,3D) qkv matmul + einsum attention                 23.5
+    #   merged qkv + pallas no-split kernel                         24.1
+    # XLA's default lowering wins; local rewrites that looked like
+    # bandwidth savings all measured slower.
     use_kernel = USE_KERNEL if use_kernel is None else use_kernel
     if not use_kernel or jax.default_backend() == 'cpu':
         return layers.mha(p, x, x, x, num_heads=num_heads)
