@@ -49,6 +49,7 @@ class PARSeqConfig:
     decode_ar: bool = True
     refine_iters: int = 1
     dropout: float = 0.1
+    remat: bool = False  # encoder rematerialization (training)
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6
@@ -64,6 +65,7 @@ class PARSeqConfig:
             depth=self.enc_depth,
             num_heads=self.enc_num_heads,
             mlp_ratio=self.enc_mlp_ratio,
+            remat=self.remat,
         )
 
     @property

@@ -36,6 +36,7 @@ class ViTConfig:
     num_heads: int = 6
     mlp_ratio: float = 4.0
     class_token: bool = False  # PARSeq encoder: False; ViTSTR: True
+    remat: bool = False  # rematerialize block activations (training memory)
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -134,5 +135,7 @@ def apply(params, images, cfg: ViTConfig):
     def body(x, block_params):
         return block_apply(block_params, x, cfg.num_heads), None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params['blocks'])
     return layer_norm(params['norm'], x)

@@ -42,8 +42,11 @@ def _parseq_prepare(tok, labels, cfg, rng):
 
 
 def _parseq_loss(params, stats, cfg, batch, rng, dtype):
+    import dataclasses
+
     from parseq_tpu.models import parseq
 
+    cfg = dataclasses.replace(cfg, remat=True)  # save encoder activations memory
     loss, numel = parseq.multi_perm_loss(params, cfg, batch['images'], batch['tgt'],
                                          batch['perms'], dtype=dtype, rng=rng)
     return loss, stats, numel

@@ -1,0 +1,87 @@
+"""CLI end-to-end smoke tests: evaluation suite + tune (CPU, tiny configs)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .test_lmdb import _png_bytes, make_str_db
+
+REPO = Path(__file__).resolve().parents[1]
+ENV = {**os.environ, 'JAX_PLATFORMS': 'cpu'}
+
+
+def test_test_cli_full_benchmark_tables(tmp_path):
+    from parseq_tpu.data.module import TEST_BENCHMARK, TEST_BENCHMARK_SUB
+    from parseq_tpu.utils.checkpoint import save_checkpoint
+    from parseq_tpu.utils.registry import create_model
+
+    root = tmp_path / 'data'
+    for name in sorted(set(TEST_BENCHMARK + TEST_BENCHMARK_SUB)):
+        make_str_db(root / 'test' / name, [(_png_bytes(), 'ab'), (_png_bytes(), 'cde')])
+
+    m = create_model('parseq-tiny', dtype=jnp.float32, enc_depth=1, embed_dim=48,
+                     enc_num_heads=3, dec_num_heads=6, max_label_length=5,
+                     img_size=[16, 32])
+    ckpt = tmp_path / 'model.ckpt'
+    save_checkpoint(ckpt, m.params, m.cfg,
+                    meta={'name': 'parseq-tiny', 'model_config': m.raw_config})
+
+    import contextlib
+    import io as _io
+
+    from parseq_tpu.cli.test import main as test_main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        test_main([str(ckpt), '--data_root', str(root),
+                   '--batch_size', '4', '--num_workers', '0'])
+    out = buf.getvalue()
+    assert 'Benchmark (Subset) set:' in out
+    assert '| Combined' in out
+    assert 'IIIT5k' in out
+    # log file written next to the checkpoint (reference test.py:139-143)
+    log = Path(str(ckpt) + '.log.txt')
+    assert log.exists() and 'Combined' in log.read_text()
+
+
+def test_tune_cli_successive_halving(tmp_path):
+    import io
+
+    from PIL import Image, ImageDraw
+
+    def img_bytes(text):
+        im = Image.new('RGB', (48, 16), (255, 255, 255))
+        ImageDraw.Draw(im).text((1, 1), text, fill=(0, 0, 0))
+        b = io.BytesIO()
+        im.save(b, 'PNG')
+        return b.getvalue()
+
+    root = tmp_path / 'data'
+    words = ['ab', 'cd', 'ef', 'gh']
+    make_str_db(root / 'train' / 'real' / 's', [(img_bytes(w), w) for w in words * 4])
+    make_str_db(root / 'val' / 's', [(img_bytes(w), w) for w in words])
+
+    import contextlib
+    import io as _io
+
+    from parseq_tpu.cli.tune import main as tune_main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tune_main(['--num_samples', '2', '--rung_steps', '2', '--rungs', '1',
+                   '--work_dir', str(tmp_path / 'tune'),
+                   'model.img_size=[16,32]', 'model.enc_depth=1', 'model.embed_dim=32',
+                   'model.enc_num_heads=2', 'model.dec_num_heads=4',
+                   'model.max_label_length=5', 'model.batch_size=4',
+                   'model.decode_ar=false', 'model.refine_iters=0',
+                   f'data.root_dir={root}', 'data.num_workers=0', 'data.augment=false',
+                   'trainer.devices=1', 'trainer.swa=false'])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert 'best_lr' in out and np.isfinite(out['best_lr'])
+    assert (tmp_path / 'tune' / 'results.json').exists()

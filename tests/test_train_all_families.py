@@ -10,8 +10,10 @@ import jax.numpy as jnp
 from .test_train_loop import data_root  # noqa: F401  (fixture)
 
 BASE_DATA = dict(train_dir='real', num_workers=0, augment=False, batch_size=4)
+# devices=1 here: SPMD multi-device training is covered by
+# test_train_loop.py (devices=2); these validate per-family loss plumbing.
 BASE_TRAINER = dict(max_epochs=1, val_check_interval=2, gradient_clip_val=20,
-                    devices=2, swa=False)
+                    devices=1, swa=False)
 CHARSET = 'abcdefghijklmnopqrstuvwxyz'
 
 
