@@ -79,6 +79,10 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         dcfg.get('remove_whitespace', True), dcfg.get('normalize_unicode', True),
     )
     train_loader = dm.train_dataloader(seed=seed)
+    if len(train_loader) == 0:
+        raise ValueError(
+            f'empty training loader: {len(dm.train_dataset)} samples with '
+            f'batch_size={dm.batch_size} (drop_last) yields no batches')
     limit = tcfg.get('limit_train_batches', 1.0)
     steps_per_epoch = max(1, int(len(train_loader) * limit))
     total_steps = tcfg.get('max_steps') or steps_per_epoch * tcfg.get('max_epochs', 20)

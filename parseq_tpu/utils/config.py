@@ -56,15 +56,18 @@ def compose(experiment: str | None = None, config_root=None, overrides: dict | N
         if k == 'defaults':
             continue
         cfg[k] = deep_merge(cfg.get(k, {}), v) if isinstance(v, dict) else v
-    # interpolations used by the reference main.yaml
-    cfg.setdefault('data', {})
-    for key in ('batch_size', 'img_size', 'max_label_length'):
-        if key in cfg['model']:
-            cfg['data'].setdefault(key, cfg['model'][key])
-    cfg['data'].setdefault('charset_train', cfg['model'].get('charset_train'))
-    cfg['data'].setdefault('charset_test', cfg['model'].get('charset_test'))
+    # CLI overrides, then the reference main.yaml interpolations
+    # (data.batch_size: ${model.batch_size} etc.): data.* always tracks
+    # model.* unless data.* itself was overridden explicitly.
+    overrides = overrides or {}
     if overrides:
         cfg = apply_dotted_overrides(cfg, overrides)
+    cfg.setdefault('data', {})
+    for key in ('batch_size', 'img_size', 'max_label_length'):
+        if key in cfg['model'] and f'data.{key}' not in overrides:
+            cfg['data'][key] = cfg['model'][key]
+    cfg['data'].setdefault('charset_train', cfg['model'].get('charset_train'))
+    cfg['data'].setdefault('charset_test', cfg['model'].get('charset_test'))
     if 'lr' in cfg.get('model', {}):
         cfg['model']['lr'] = float(cfg['model']['lr'])
     return cfg

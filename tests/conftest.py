@@ -16,8 +16,6 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
-# Persistent compilation cache: identical programs (e.g. tune trials, CLI
-# subprocesses, repeated suite runs) skip recompilation — the single-CPU test
-# runner is compile-bound.
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+# NOTE: we deliberately do NOT enable the persistent compilation cache here:
+# XLA:CPU AOT deserialization warns about machine-feature mismatches
+# (+prefer-no-scatter/-gather) with possible SIGILL on this runner.

@@ -72,9 +72,12 @@ def test_tune_cli_successive_halving(tmp_path):
 
     from parseq_tpu.cli.tune import main as tune_main
 
+    # num_samples=1: each distinct LR bakes a new constant into the compiled
+    # train step (full recompile), which the 1-CPU runner can't afford; one
+    # trial still exercises the whole successive-halving path.
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        tune_main(['--num_samples', '2', '--rung_steps', '2', '--rungs', '1',
+        tune_main(['--num_samples', '1', '--rung_steps', '2', '--rungs', '1',
                    '--work_dir', str(tmp_path / 'tune'),
                    'model.img_size=[16,32]', 'model.enc_depth=1', 'model.embed_dim=32',
                    'model.enc_num_heads=2', 'model.dec_num_heads=4',

@@ -83,3 +83,17 @@ def test_load_torch_checkpoint(tmp_path):
         want = twin(torch.from_numpy(images.transpose(0, 3, 1, 2)),
                     decode_ar=True, refine_iters=1).numpy()
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_compose_override_propagates_to_data():
+    """model.batch_size/img_size overrides must flow into data.* (the
+    reference's Hydra interpolation data.batch_size: ${model.batch_size});
+    regression test for the empty-drop_last-loader hang."""
+    cfg = config_lib.compose('parseq', overrides={'model.batch_size': 4,
+                                                  'model.img_size': [16, 32]})
+    assert cfg['data']['batch_size'] == 4
+    assert cfg['data']['img_size'] == [16, 32]
+    # explicit data override wins over the interpolation
+    cfg2 = config_lib.compose('parseq', overrides={'model.batch_size': 4,
+                                                   'data.batch_size': 8})
+    assert cfg2['data']['batch_size'] == 8
