@@ -108,3 +108,27 @@ def test_abinet_train_grads_finite(twin_and_params, images):
     assert np.isfinite(float(loss))
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_sv_attention_variant_parity():
+    """abinet-sv 'attention' module (attention.py:7-32) parity."""
+    import torch as _torch
+
+    from parseq_tpu.utils.torch_convert import _lin, _np
+    from .torch_twin import TwinSVAttention
+
+    _torch.manual_seed(5)
+    # n_feature must equal H*W (reference wires n_feature=8*32 for the 8x32
+    # feature map, model_vision.py:28-31)
+    T, E, n_feat = CFG.max_length, CFG.d_model, 32
+    twin = TwinSVAttention(E, T, n_feat).eval()
+    x = np.random.default_rng(0).standard_normal((2, E, 4, 8), dtype=np.float32)
+    want = twin(_torch.from_numpy(x)).numpy()
+
+    sd = {f'a.{k}': v for k, v in twin.state_dict().items()}
+    p = {
+        'f0_embedding': {'w': jnp.asarray(_np(sd['a.f0_embedding.weight']))},
+        'w0': _lin(sd, 'a.w0'), 'wv': _lin(sd, 'a.wv'), 'we': _lin(sd, 'a.we'),
+    }
+    got, _ = abinet._sv_attention(p, CFG, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)

@@ -205,3 +205,39 @@ def test_ar_kvcache_matches_scan(images):
     p1, _ = tok.decode(np.asarray(jax.nn.softmax(want, -1)))
     p2, _ = tok.decode(np.asarray(jax.nn.softmax(got_early, -1)))
     assert p1 == p2
+
+
+def test_multi_perm_loss_decreases_under_training():
+    """Gradient flow end-to-end: overfitting 4 samples must cut the loss
+    roughly in half within 60 adam steps."""
+    import jax
+    import optax
+
+    from parseq_tpu.data import Tokenizer
+
+    cfg = parseq.PARSeqConfig(num_tokens=13, max_label_length=5, img_size=(16, 32),
+                              embed_dim=32, enc_num_heads=2, enc_depth=1,
+                              dec_num_heads=4)
+    tok = Tokenizer('0123456789')
+    params = parseq.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    images_l = jnp.asarray(rng.standard_normal((4, 16, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(tok.encode(['12', '345', '0987', '6'], 5))
+    perms = jnp.asarray(parseq.gen_tgt_perms(rng, cfg))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, r):
+        (loss, _), g = jax.value_and_grad(
+            lambda p: parseq.multi_perm_loss(p, cfg, images_l, tgt, perms, rng=r),
+            has_aux=True)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    key = jax.random.key(0)
+    losses = []
+    for i in range(60):
+        params, opt, loss = step(params, opt, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < 0.65 * losses[0], losses[::10]

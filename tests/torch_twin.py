@@ -613,3 +613,25 @@ class TwinPARSeq(nn.Module):
                                   query_mask[:, : tgt_in.shape[1]])
                 logits = self.head(out)
         return logits
+
+
+class TwinSVAttention(nn.Module):
+    """ABINet 'attention' variant (abinet/attention.py:7-32)."""
+
+    def __init__(self, in_channels=512, max_length=26, n_feature=256):
+        super().__init__()
+        self.max_length = max_length
+        self.f0_embedding = nn.Embedding(max_length, in_channels)
+        self.w0 = nn.Linear(max_length, n_feature)
+        self.wv = nn.Linear(in_channels, in_channels)
+        self.we = nn.Linear(in_channels, max_length)
+
+    @torch.no_grad()
+    def forward(self, enc_output):  # (B, E, H, W)
+        enc_output = enc_output.permute(0, 2, 3, 1).flatten(1, 2)
+        order = torch.arange(self.max_length).unsqueeze(0).expand(enc_output.size(0), -1)
+        emb = self.f0_embedding(order)
+        t = self.w0(emb.permute(0, 2, 1))
+        t = torch.tanh(t.permute(0, 2, 1) + self.wv(enc_output))
+        attn = torch.softmax(self.we(t).permute(0, 2, 1), dim=2)
+        return torch.bmm(attn, enc_output)
