@@ -25,7 +25,7 @@ import numpy as np
 from PIL import Image
 
 from parseq_tpu.data.charset import CharsetAdapter
-from parseq_tpu.data.lmdb import LmdbReader
+from parseq_tpu.data.lmdb import LmdbReader, open_reader
 from parseq_tpu.data.transforms import preprocess_pil
 
 log = logging.getLogger(__name__)
@@ -48,10 +48,11 @@ class LmdbDataset:
         )
 
     # Lazy per-process open: safe after fork into loader workers.
+    # Prefers the native C++ reader (data/native), falls back to Python mmap.
     @property
-    def reader(self) -> LmdbReader:
+    def reader(self):
         if self._reader is None:
-            self._reader = LmdbReader(self.root)
+            self._reader = open_reader(self.root)
         return self._reader
 
     def __getstate__(self):
@@ -62,7 +63,7 @@ class LmdbDataset:
     def _preprocess_labels(self, charset, remove_whitespace, normalize_unicode,
                            max_label_len, min_image_dim):
         charset_adapter = CharsetAdapter(charset)
-        with LmdbReader(self.root) as rd:
+        with open_reader(self.root) as rd:
             num_samples = int(rd.get(b'num-samples'))
             if self.unlabelled:
                 return num_samples

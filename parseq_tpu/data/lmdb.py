@@ -54,6 +54,20 @@ class LmdbError(RuntimeError):
     pass
 
 
+def open_reader(path):
+    """Open an LMDB for point lookups: native C++ core when the toolchain is
+    available (parseq_tpu/data/native), pure-Python mmap reader otherwise.
+    Both expose get()/len()/close()/context-manager."""
+    try:
+        from parseq_tpu.data.native import NativeLmdbReader, load
+
+        if load() is not None:
+            return NativeLmdbReader(path)
+    except Exception:  # noqa: BLE001 - any native failure falls back
+        pass
+    return LmdbReader(path)
+
+
 def _data_file(path) -> Path:
     p = Path(path)
     if p.is_dir():

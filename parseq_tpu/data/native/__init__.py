@@ -1,0 +1,101 @@
+"""ctypes bindings for the native C++ LMDB reader.
+
+Builds lmdb_reader.cpp with g++ on first use (cached next to the source);
+returns None from `load()` if no toolchain is available so callers fall back
+to the pure-Python mmap reader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+log = logging.getLogger(__name__)
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / 'lmdb_reader.cpp'
+_SO = _HERE / '_lmdb_reader.so'
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
+           str(_SRC), '-o', str(_SO)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        log.info(f'native LMDB reader build failed ({e!r}); using Python reader')
+        return False
+
+
+def load():
+    """-> ctypes CDLL with the parseq_lmdb_* symbols, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:
+            log.info(f'native LMDB reader load failed ({e!r})')
+            return None
+        lib.parseq_lmdb_open.argtypes = [ctypes.c_char_p]
+        lib.parseq_lmdb_open.restype = ctypes.c_void_p
+        lib.parseq_lmdb_close.argtypes = [ctypes.c_void_p]
+        lib.parseq_lmdb_close.restype = None
+        lib.parseq_lmdb_entries.argtypes = [ctypes.c_void_p]
+        lib.parseq_lmdb_entries.restype = ctypes.c_uint64
+        lib.parseq_lmdb_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_size_t,
+                                        ctypes.POINTER(ctypes.c_size_t)]
+        lib.parseq_lmdb_get.restype = ctypes.c_void_p
+        _lib = lib
+        return _lib
+
+
+class NativeLmdbReader:
+    """Same read API as data.lmdb.LmdbReader, backed by the C++ core."""
+
+    def __init__(self, path, lib=None):
+        self._lib = lib or load()
+        if self._lib is None:
+            raise RuntimeError('native LMDB reader unavailable')
+        p = Path(path)
+        if p.is_dir():
+            p = p / 'data.mdb'
+        self.path = p
+        self._h = self._lib.parseq_lmdb_open(str(p).encode())
+        if not self._h:
+            raise OSError(f'{p}: not a readable LMDB database')
+
+    def close(self):
+        if self._h:
+            self._lib.parseq_lmdb_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __len__(self):
+        return int(self._lib.parseq_lmdb_entries(self._h))
+
+    def get(self, key: bytes):
+        vlen = ctypes.c_size_t()
+        ptr = self._lib.parseq_lmdb_get(self._h, key, len(key), ctypes.byref(vlen))
+        if not ptr:
+            return None
+        return ctypes.string_at(ptr, vlen.value)

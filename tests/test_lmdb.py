@@ -100,3 +100,38 @@ def test_build_tree_dataset(tmp_path):
     assert len(ds) == 3
     labels = sorted(ds[i][1] for i in range(3))
     assert labels == ['one', 'three', 'two']
+
+
+def test_native_reader_matches_python(tmp_path):
+    """C++ reader returns identical results to the Python mmap reader."""
+    import pytest
+
+    from parseq_tpu.data import native
+
+    if native.load() is None:
+        pytest.skip('no C++ toolchain')
+    p = tmp_path / 'db'
+    rng = np.random.default_rng(7)
+    kv = {f'k{i:06d}'.encode(): rng.bytes(int(rng.integers(1, 9000))) for i in range(3000)}
+    with LmdbWriter(p) as w:
+        for k, v in kv.items():
+            w.put(k, v)
+    nat = native.NativeLmdbReader(p)
+    with LmdbReader(p) as py:
+        assert len(nat) == len(py) == 3000
+        for k in list(kv)[::97] + [b'missing', b'k999999']:
+            assert nat.get(k) == py.get(k)
+    nat.close()
+
+
+def test_open_reader_prefers_native(tmp_path):
+    from parseq_tpu.data import native
+    from parseq_tpu.data.lmdb import open_reader
+
+    p = tmp_path / 'db'
+    with LmdbWriter(p) as w:
+        w.put(b'a', b'1')
+    with open_reader(p) as rd:
+        assert rd.get(b'a') == b'1'
+        if native.load() is not None:
+            assert isinstance(rd, native.NativeLmdbReader)
