@@ -26,6 +26,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    # Multi-host SPMD (trainer.multihost=true): initialize the JAX
+    # distributed runtime so jax.devices() spans all hosts of the slice.
+    # Single-host (the common case, incl. this environment) skips this.
     tokens = []
     experiment = args.experiment
     for tok in args.overrides:
@@ -37,6 +40,11 @@ def main(argv=None):
                      charset=args.charset, dataset=args.dataset)
     name = config['model'].get('name', 'model')
     work_dir = args.work_dir or f'outputs/{name}/{time.strftime("%Y-%m-%d_%H-%M-%S")}'
+
+    if config.get('trainer', {}).get('multihost'):
+        import jax
+
+        jax.distributed.initialize()
 
     from parseq_tpu.train.loop import train
 
