@@ -113,3 +113,62 @@ def main(steps=1200, bs=128, eval_every=200):
 if __name__ == '__main__':
     final = main()
     print(f'FINAL val word accuracy: {final:.1f}%')
+
+
+def compare_decode_paths(steps=1000):
+    """Train, then compare scan vs fused-kernel AR decode on the trained model:
+    word accuracy and string agreement."""
+    rng = np.random.default_rng(0)
+    cfg = parseq.PARSeqConfig(
+        num_tokens=len(CHARSET_36) + 3, max_label_length=MAXLEN,
+        embed_dim=192, enc_num_heads=3, enc_depth=6, dec_num_heads=6,
+        decode_ar=True, refine_iters=1,
+    )
+    tok = Tokenizer(CHARSET_36)
+    adapter = CharsetAdapter(CHARSET_36)
+    train_imgs, train_words, vocab = make_data(4096, rng)
+    val_imgs, val_words, _ = make_data(256, rng, vocab)
+
+    ocfg = optim.OptimConfig(lr=7e-4, batch_size=128, total_steps=steps,
+                             warmup_pct=0.1, swa=False)
+    params = parseq.init(jax.random.key(0), cfg)
+    tx, _ = optim.make_optimizer(ocfg, params)
+    state = {'params': params, 'stats': {}, 'opt_state': tx.init(params),
+             'step': jnp.zeros((), jnp.int32)}
+    from parseq_tpu.train.steps import make_parseq_train_step
+
+    step_fn = jax.jit(make_parseq_train_step(cfg, tx), donate_argnums=(0,))
+    base_rng = jax.random.key(1)
+    bs = 128
+    for s in range(steps):
+        idx = rng.integers(0, len(train_words), bs)
+        tgt = tok.encode([train_words[i] for i in idx], MAXLEN)
+        perms = parseq.gen_tgt_perms(rng, cfg)
+        state, _ = step_fn(state, jnp.asarray(train_imgs[idx]), jnp.asarray(tgt),
+                           jnp.asarray(perms), base_rng)
+
+    results = {}
+    preds_by_path = {}
+    for name, fused in [('scan', False), ('fused', True)]:
+        fwd = jax.jit(lambda p, im, f=fused: parseq.forward(
+            p, cfg, im, dtype=jnp.bfloat16, use_fused_ar=f))
+        correct = total = 0
+        preds_all = []
+        for i in range(0, len(val_words), bs):
+            im = val_imgs[i:i + bs]
+            pad = bs - len(im)
+            if pad:
+                im = np.concatenate([im, np.zeros((pad, H, W, 3), np.float32)])
+            probs = jax.nn.softmax(fwd(state['params'], jnp.asarray(im)), -1)
+            preds, _ = tok.decode(jax.device_get(probs))
+            for j, gt in enumerate(val_words[i:i + bs]):
+                pred = adapter(preds[j])
+                preds_all.append(pred)
+                correct += pred == gt
+                total += 1
+        results[name] = 100.0 * correct / total
+        preds_by_path[name] = preds_all
+    agree = np.mean([a == b for a, b in zip(preds_by_path['scan'], preds_by_path['fused'])])
+    print(f'scan  val acc: {results["scan"]:.2f}%')
+    print(f'fused val acc: {results["fused"]:.2f}%')
+    print(f'string agreement: {100 * agree:.2f}%')

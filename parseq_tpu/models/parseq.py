@@ -408,7 +408,8 @@ def refine(params, cfg: PARSeqConfig, memory, logits, dtype=jnp.float32):
     return logits
 
 
-def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=False):
+def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=False,
+            use_fused_ar=False):
     """Full inference: encode -> AR or NAR decode -> refinement.
 
     Always decodes the full num_steps positions (static shape); the
@@ -420,11 +421,18 @@ def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=Fal
     images = images.astype(dtype)
     memory = encode(params, cfg, images)
     if cfg.decode_ar:
-        # Note: ar_decode_kvcache removes ~200 GFLOP of redundant projection
-        # work but measured *slower* on v5e-1 at batch 256 (6.7k vs 7.3k
-        # img/s): the AR loop is op-dispatch-bound, not FLOP-bound, and the
-        # cache updates add small ops to the step body. The plain scan wins.
-        logits = ar_decode(params, cfg, memory, dtype, early_exit=early_exit)
+        # AR implementations, measured on v5e-1 at batch 256 (PERF.md):
+        #   lax.scan (default)      ~10 ms/batch — reference-exact greedy path
+        #   ar_decode_kvcache       slower (op-dispatch-bound loop)
+        #   ar_decode_fused (pallas whole-loop kernel) ~6.5 ms/batch, argmax
+        #     differs on ~1% of positions vs the scan under random weights
+        #     (bf16 reassociation) -> opt-in via use_fused_ar.
+        if use_fused_ar and cfg.dec_depth == 1 and jax.default_backend() != 'cpu':
+            from parseq_tpu.ops.ar_kernel import ar_decode_fused
+
+            logits = ar_decode_fused(params, cfg, memory.astype(jnp.bfloat16))
+        else:
+            logits = ar_decode(params, cfg, memory, dtype, early_exit=early_exit)
     else:
         logits = nar_decode(params, cfg, memory, dtype)
     if cfg.refine_iters:
