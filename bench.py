@@ -49,7 +49,11 @@ def main():
 
     @jax.jit
     def fwd(params, stack):  # (macro, B, H, W, C)
-        return jax.lax.map(lambda im: parseq.forward(params, cfg, im, dtype=jnp.bfloat16), stack)
+        # use_fused_ar: whole-loop pallas AR decoder — validated accuracy-
+        # equivalent to the exact scan on trained weights (identical val
+        # accuracy, 99.6% string agreement; PERF.md).
+        return jax.lax.map(lambda im: parseq.forward(params, cfg, im, dtype=jnp.bfloat16,
+                                                     use_fused_ar=True), stack)
 
     def make_stacks(seed, n):
         keys = jax.random.split(jax.random.key(seed), n)

@@ -59,7 +59,9 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(mem_k_ref, mem_v_ref,  # (bb, M, D)
+def _kernel(mem_k_ref, mem_v_ref,  # (M, bb, D) — keys-first layout so all
+            # broadcasts insert LEADING unit dims (Mosaic can't shape-cast a
+            # middle unit dim for non-128-multiple D)
             emb_ref,               # (LANE, D)   sqrt(D)*embedding, padded rows
             pos_add_ref,           # (n, D)      content positional rows (row0=0)
             q_base_ref,            # (n, D)      pos_queries (query stream input)
@@ -71,10 +73,10 @@ def _kernel(mem_k_ref, mem_v_ref,  # (bb, M, D)
             lnf_ref,               # (2, D): final decoder norm s/b
             wh_ref, bh_ref,        # head (D, LANE), (1, LANE) (pad cols = -1e9 bias)
             G_ref, GT_ref,         # (D, LANE) head-indicator and its transpose
-            logits_ref,            # out: (bb, n, LANE)
+            logits_ref,            # out: (n, bb, LANE) — steps-first (leading writes)
             k_cache_ref, v_cache_ref,  # VMEM scratch: (n, bb, D)
             *, n, heads, dh, bos_id):
-    bb, M, D = mem_k_ref.shape
+    M, bb, D = mem_k_ref.shape
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
 
     mem_k = mem_k_ref[...]
@@ -114,14 +116,14 @@ def _kernel(mem_k_ref, mem_v_ref,  # (bb, M, D)
         # ---- cross-attention to memory (K/V pre-projected outside)
         cqv = _ln(tgt, ln_ref[2:3, :], ln_ref[3:4, :])
         cq = _dot(cqv.astype(jnp.bfloat16), cq_ref[...]) + cqb_ref[...]  # (bb, D)
-        prod2 = mem_k * cq.astype(mem_k.dtype)[:, None, :]  # (bb, M, D)
-        scores2 = _dot(prod2.reshape(bb * M, D).astype(jnp.bfloat16), G) * inv_sqrt_dh
-        scores2 = scores2.reshape(bb, M, LANE)
-        smax2 = jnp.max(scores2, axis=1, keepdims=True)
+        prod2 = mem_k * cq.astype(mem_k.dtype)[None]  # (M, bb, D)
+        scores2 = _dot(prod2.reshape(M * bb, D).astype(jnp.bfloat16), G) * inv_sqrt_dh
+        scores2 = scores2.reshape(M, bb, LANE)
+        smax2 = jnp.max(scores2, axis=0, keepdims=True)
         e2 = jnp.exp(scores2 - smax2)
-        probs2 = e2 / jnp.sum(e2, axis=1, keepdims=True)
-        p2 = _dot(probs2.reshape(bb * M, LANE).astype(jnp.bfloat16), GT_ref[...]).reshape(bb, M, D)
-        ca = jnp.sum(p2 * mem_v.astype(jnp.float32), axis=1)  # (bb, D)
+        probs2 = e2 / jnp.sum(e2, axis=0, keepdims=True)
+        p2 = _dot(probs2.reshape(M * bb, LANE).astype(jnp.bfloat16), GT_ref[...]).reshape(M, bb, D)
+        ca = jnp.sum(p2 * mem_v.astype(jnp.float32), axis=0)  # (bb, D)
         ca = _dot(ca.astype(jnp.bfloat16), co_ref[...]) + cob_ref[...]
         tgt = tgt + ca
 
@@ -135,7 +137,7 @@ def _kernel(mem_k_ref, mem_v_ref,  # (bb, M, D)
         # ---- final norm + head + greedy pick
         out = _ln(tgt, lnf_ref[0:1, :], lnf_ref[1:2, :])
         logits = _dot(out.astype(jnp.bfloat16), wh_ref[...]) + bh_ref[...]  # (bb, LANE)
-        logits_ref[:, pl.ds(i, 1), :] = logits[:, None].astype(logits_ref.dtype)
+        logits_ref[pl.ds(i, 1)] = logits[None].astype(logits_ref.dtype)
         nxt = jnp.argmax(logits, axis=-1, keepdims=True)  # (bb, 1)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, LANE), 1)
         return (lane_ids == nxt).astype(jnp.float32)
@@ -163,8 +165,9 @@ def ar_decode_fused(params, cfg, memory, *, batch_block=8, interpret=False):
     bf16 = jnp.bfloat16
 
     mem = memory.astype(bf16)
-    mem_k = (layers.linear(lp['cross_attn']['k'], mem)).astype(bf16)
-    mem_v = (layers.linear(lp['cross_attn']['v'], mem)).astype(bf16)
+    # keys-first (M, B, D) layout — see _kernel docstring
+    mem_k = layers.linear(lp['cross_attn']['k'], mem).astype(bf16).transpose(1, 0, 2)
+    mem_v = layers.linear(lp['cross_attn']['v'], mem).astype(bf16).transpose(1, 0, 2)
 
     # Embedding table, sqrt(D)-scaled, padded to LANE rows.
     emb = math.sqrt(D) * params['text_embed']['w']
@@ -205,7 +208,7 @@ def ar_decode_fused(params, cfg, memory, *, batch_block=8, interpret=False):
     Gm = (d_idx[:, None] // dh == jnp.arange(LANE)[None, :]).astype(bf16)
     GmT = Gm.T
 
-    blocked = pl.BlockSpec((bb, M, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((M, bb, D), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
 
@@ -217,12 +220,12 @@ def ar_decode_fused(params, cfg, memory, *, batch_block=8, interpret=False):
         kernel,
         grid=(B // bb,),
         in_specs=[blocked, blocked] + [full(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((bb, n, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, LANE), f32),
+        out_specs=pl.BlockSpec((n, bb, LANE), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B, LANE), f32),
         scratch_shapes=[
             pltpu.VMEM((n, bb, D), bf16),
             pltpu.VMEM((n, bb, D), bf16),
         ],
         interpret=interpret,
     )(mem_k, mem_v, *consts)
-    return logits[:, :, :C]
+    return logits.transpose(1, 0, 2)[:, :, :C]

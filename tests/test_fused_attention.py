@@ -75,3 +75,24 @@ def test_nosplit_reference_equals_mha_math():
     q, k, v = (layers.linear(p[n], x) for n in 'qkv')
     got = layers.linear(p['out'], _reference_nosplit(q, k, v, h, 1.0 / np.sqrt(D // h)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_ar_kernel_interpret_parity():
+    """Whole-loop AR kernel (interpret mode) is argmax-identical to the scan."""
+    import jax
+    from parseq_tpu.models import parseq
+    from parseq_tpu.ops.ar_kernel import ar_decode_fused
+
+    cfg = parseq.PARSeqConfig(num_tokens=13, max_label_length=7, img_size=(32, 64),
+                              patch_size=(4, 8), embed_dim=48, enc_num_heads=4,
+                              enc_depth=1, dec_num_heads=6, dec_depth=1)
+    params = parseq.init(jax.random.key(3), cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 32, 64, 3)).astype(np.float32))
+    memory = parseq.encode(params, cfg, images)
+    want = parseq.ar_decode(params, cfg, memory)
+    got = ar_decode_fused(params, cfg, memory.astype(jnp.bfloat16),
+                          batch_block=2, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(got).argmax(-1), np.asarray(want).argmax(-1))
