@@ -39,7 +39,10 @@ def batch_images(paths, img_size=(32, 128), rotation: int = 0) -> np.ndarray:
     return np.stack([load_image(p, img_size, rotation) for p in paths])
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
 def _resize_normalize(x, h, w):
     y = jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method='cubic')
     return (y - 0.5) / 0.5

@@ -152,3 +152,20 @@ def test_read_cli_on_demo_images(tmp_path):
     assert r.returncode == 0, r.stderr
     for p in demo:
         assert p in r.stdout
+
+
+def test_preprocess_jax_serving_path():
+    """Device-side preprocess: uint8 -> [-1,1], resize to (H, W)."""
+    import jax.numpy as jnp
+
+    from parseq_tpu.data.transforms import preprocess_jax
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 17, 53, 3), dtype=np.uint8)
+    out = preprocess_jax(imgs, (32, 128))
+    assert out.shape == (2, 32, 128, 3)
+    assert float(out.min()) >= -1.001 and float(out.max()) <= 1.001
+    # solid-gray image maps to ~0 everywhere
+    gray = np.full((1, 10, 10, 3), 127.5, np.float32) / 255.0
+    out2 = preprocess_jax(gray * 255.0 if False else np.full((1, 10, 10, 3), 0.5, np.float32), (32, 128))
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-2)
