@@ -45,6 +45,9 @@ from functools import partial
 @partial(jax.jit, static_argnums=(1, 2))
 def _resize_normalize(x, h, w):
     y = jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method='cubic')
+    # PIL's bicubic clamps to the uint8 range before ToTensor; match it so
+    # cubic overshoot can't leave [-1, 1].
+    y = jnp.clip(y, 0.0, 1.0)
     return (y - 0.5) / 0.5
 
 
