@@ -135,6 +135,32 @@ def gaussian_noise(img, level):
     return Image.fromarray(np.clip(x, 0, 255).astype(np.uint8))
 
 
+def motion_blur(img, level):
+    """Directional blur along a random angle (imgaug MotionBlur semantics:
+    k x k kernel with a centered line at a uniform-random angle; reference
+    augment.py:52-56,94 registers it in NAME_TO_OP). Kernel size follows the
+    reference's LEVEL_TO_ARG max=20, capped at 8% of the max image dim and
+    binned to odd values."""
+    from scipy import ndimage
+
+    k = _cap_param(20.0 * level / _LEVEL_DENOM, img, 0.08, 3) | 1
+    angle = random.uniform(0.0, 360.0)
+    kernel = np.zeros((k, k), np.float32)
+    kernel[k // 2, :] = 1.0  # horizontal line through the center
+    kernel = ndimage.rotate(kernel, angle, reshape=False, order=1)
+    s = kernel.sum()
+    if s <= 0:  # degenerate rotation — fall back to the identity
+        return img
+    kernel /= s
+    x = np.asarray(img, dtype=np.float32)
+    if x.ndim == 2:
+        y = ndimage.convolve(x, kernel, mode='nearest')
+    else:
+        y = np.stack([ndimage.convolve(x[..., c], kernel, mode='nearest')
+                      for c in range(x.shape[-1])], axis=-1)
+    return Image.fromarray(np.clip(y, 0, 255).astype(np.uint8))
+
+
 def poisson_noise(img, level):
     lam = _cap_param(40.0 * level / _LEVEL_DENOM, img, 0.2) | 1
     x = np.asarray(img, dtype=np.float32)
@@ -142,11 +168,41 @@ def poisson_noise(img, level):
     return Image.fromarray(np.clip(x, 0, 255).astype(np.uint8))
 
 
-_STR_TRANSFORMS = [
-    auto_contrast, equalize, invert, rotate, posterize_inc, solarize_inc,
-    solarize_add, color_inc, contrast_inc, brightness_inc, shear_x, shear_y,
-    translate_x_rel, translate_y_rel, gaussian_blur, poisson_noise,
+# Registered op inventory, mirroring the reference's NAME_TO_OP additions
+# (augment.py:93-98): MotionBlur and GaussianNoise are available but — like
+# the reference (augment.py:80-83 comments them out of _RAND_TRANSFORMS) —
+# not part of the default sampled set.
+NAME_TO_OP = {
+    'AutoContrast': auto_contrast,
+    'Equalize': equalize,
+    'Invert': invert,
+    'Rotate': rotate,
+    'PosterizeIncreasing': posterize_inc,
+    'SolarizeIncreasing': solarize_inc,
+    'SolarizeAdd': solarize_add,
+    'ColorIncreasing': color_inc,
+    'ContrastIncreasing': contrast_inc,
+    'BrightnessIncreasing': brightness_inc,
+    'ShearX': shear_x,
+    'ShearY': shear_y,
+    'TranslateXRel': translate_x_rel,
+    'TranslateYRel': translate_y_rel,
+    'GaussianBlur': gaussian_blur,
+    'MotionBlur': motion_blur,
+    'GaussianNoise': gaussian_noise,
+    'PoissonNoise': poisson_noise,
+}
+
+# Default sampled set = timm's increasing set minus SharpnessIncreasing, plus
+# GaussianBlur + PoissonNoise (reference augment.py:78-84).
+DEFAULT_TRANSFORM_NAMES = [
+    'AutoContrast', 'Equalize', 'Invert', 'Rotate', 'PosterizeIncreasing',
+    'SolarizeIncreasing', 'SolarizeAdd', 'ColorIncreasing',
+    'ContrastIncreasing', 'BrightnessIncreasing', 'ShearX', 'ShearY',
+    'TranslateXRel', 'TranslateYRel', 'GaussianBlur', 'PoissonNoise',
 ]
+
+_STR_TRANSFORMS = [NAME_TO_OP[n] for n in DEFAULT_TRANSFORM_NAMES]
 
 
 class RandAugment:

@@ -77,7 +77,14 @@ class DataLoader:
         import multiprocessing as mp
 
         ctx = mp.get_context('fork')
-        with ctx.Pool(self.num_workers, initializer=_init_worker, initargs=(self.dataset,)) as pool:
+        # Per-worker, per-epoch RNG seeding (torch DataLoader seeds each
+        # worker per-iterator as base_seed + worker_id): forked workers would
+        # otherwise inherit identical global random/np.random state, so every
+        # worker — and every epoch, since the parent RNG never advances —
+        # would replay the same RandAugment stream.
+        worker_counter = ctx.Value('i', 0)
+        with ctx.Pool(self.num_workers, initializer=_init_worker,
+                      initargs=(self.dataset, worker_counter, self.seed, self.epoch)) as pool:
             it = pool.imap(_worker_fetch, ((list(map(int, c)), self.batch_size) for c in self._index_batches()),
                            chunksize=1)
             # thread-side prefetch so the pool stays busy while the device runs
@@ -104,9 +111,18 @@ class DataLoader:
 _WORKER_DATASET = None
 
 
-def _init_worker(dataset):
+def _init_worker(dataset, worker_counter=None, seed=0, epoch=0):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    if worker_counter is not None:
+        import random
+
+        with worker_counter.get_lock():
+            worker_id = worker_counter.value
+            worker_counter.value += 1
+        ss = np.random.SeedSequence([seed, epoch, worker_id])
+        np.random.seed(ss.generate_state(1)[0])
+        random.seed(int(ss.generate_state(2)[1]))
 
 
 def _worker_fetch(args):

@@ -68,6 +68,9 @@ def ctc_loss(log_probs, targets, target_lengths, *, blank=0, zero_infinity=True,
 
     last = jnp.take_along_axis(alpha, (s_len - 1)[:, None], axis=1)[:, 0]
     last2 = jnp.take_along_axis(alpha, jnp.maximum(s_len - 2, 0)[:, None], axis=1)[:, 0]
+    # Empty targets (s_len == 1): only the all-blank path exists; without the
+    # mask, last and last2 would read the same cell and double-count it.
+    last2 = jnp.where(s_len >= 2, last2, _NEG)
     nll = -_logaddexp(last, last2)
 
     if zero_infinity:

@@ -205,14 +205,20 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     step = start_step
     t_start = time.time()
     best_path = None
+    # Resume continues the data stream where it left off: same epoch shuffle
+    # order (set_epoch), skipping the batches already consumed.
+    start_epoch = start_step // steps_per_epoch
+    skip_batches = start_step % steps_per_epoch
     log.info(f'training {name}: {total_steps} steps, {steps_per_epoch}/epoch, mesh={n_devices}dev')
-    for epoch in range(10 ** 9):
+    for epoch in range(start_epoch, 10 ** 9):
         if step >= total_steps:
             break
         train_loader.set_epoch(epoch)
         for bi, (images, labels, valid) in enumerate(train_loader):
             if step >= total_steps or bi >= steps_per_epoch:
                 break
+            if epoch == start_epoch and bi < skip_batches:
+                continue
             pretraining = is_abinet and step < pretrain_frac * total_steps
             if is_abinet and not pretraining and not alignment_reset_done:
                 # Reset alignment params once at the phase switch (system.py:197-201)
@@ -256,7 +262,35 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
                 swa_state = optim.swa_update(swa_state, state['params'])
 
     if swa_state is not None and int(jax.device_get(swa_state['n'])) > 0:
-        tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(state['stats'])}
+        swa_stats = state['stats']
+        if jax.tree.leaves(swa_stats):
+            # Re-estimate BatchNorm running stats for the averaged weights
+            # (Lightning SWA's update_bn semantics, reference train.py:93-95):
+            # the running stats in `state` were accumulated under the *last*
+            # weights, not the average. One forward-only pass over train data
+            # with momentum-0.1 EMA leaves <0.01% of the stale stats after
+            # ~100 batches.
+            def stats_step(params, stats, batch, rng):
+                _, new_stats, _ = family.loss(params, stats, cfg, batch, rng,
+                                              compute_dtype)
+                return new_stats
+
+            jstats = jax.jit(stats_step, in_shardings=(repl, repl, None, repl),
+                             out_shardings=repl)
+            swa_params = swa_state['avg']
+            n_bn_batches = min(steps_per_epoch, 100)
+            train_loader.set_epoch(10 ** 6)  # fresh shuffle, any order works
+            for bi, (images, labels, valid) in enumerate(train_loader):
+                if bi >= n_bn_batches:
+                    break
+                batch = {'images': jnp.asarray(images)}
+                batch.update({k: jnp.asarray(v) for k, v in
+                              family.prepare(tok, labels, cfg, perm_rng).items()})
+                batch = {k: jax.device_put(v, data_sh if v.shape[:1] == (images.shape[0],) else repl)
+                         for k, v in batch.items()}
+                swa_stats = jstats(swa_params, swa_stats, batch, base_rng)
+            log.info(f'SWA: re-estimated BatchNorm stats over {n_bn_batches} batches')
+        tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(swa_stats)}
         save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt', _maybe_flatten(tree), cfg,
                         meta={'name': name, 'model_config': mcfg, 'swa': True})
     return state, best_path

@@ -71,4 +71,6 @@ def save_topk(out_dir, step, metric_value, params, config=None, meta=None, k=3, 
     cands.sort(key=lambda t: t[0], reverse=(mode == 'max'))
     for _, p in cands[k:]:
         p.unlink()
-    return out_dir / name
+    # Return the best *surviving* checkpoint: the just-written one may have
+    # ranked below the current top-k and been pruned above.
+    return cands[0][1] if cands else out_dir / 'last.ckpt'

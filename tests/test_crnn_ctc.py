@@ -142,3 +142,24 @@ def test_crnn_train_loss_finite_and_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_ctc_loss_empty_target_matches_torch():
+    """target_length == 0 must return -log p(all-blank), not double-count the
+    single alpha cell (reference torch semantics; ADVICE.md round-1 finding)."""
+    rng = np.random.default_rng(7)
+    B, T, C, L = 3, 11, 9, 5
+    logits = rng.standard_normal((B, T, C), dtype=np.float32)
+    lengths = np.array([0, 3, 0], np.int32)
+    targets = rng.integers(1, C, (B, L)).astype(np.int32)
+
+    log_probs = torch.from_numpy(logits).log_softmax(-1)
+    want = F.ctc_loss(
+        log_probs.transpose(0, 1), torch.from_numpy(targets.astype(np.int64)),
+        torch.full((B,), T, dtype=torch.long), torch.from_numpy(lengths.astype(np.int64)),
+        blank=0, zero_infinity=True, reduction='none',
+    ).numpy()
+    got = np.asarray(ctc_ops.ctc_loss(
+        jax.nn.log_softmax(jnp.asarray(logits), -1), jnp.asarray(targets),
+        jnp.asarray(lengths), reduction='none'))
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -169,3 +169,61 @@ def test_preprocess_jax_serving_path():
     gray = np.full((1, 10, 10, 3), 127.5, np.float32) / 255.0
     out2 = preprocess_jax(gray * 255.0 if False else np.full((1, 10, 10, 3), 0.5, np.float32), (32, 128))
     np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-2)
+
+
+def test_augment_op_inventory_matches_reference():
+    """Op registry parity with reference augment.py:78-98: the sampled set is
+    the increasing set minus SharpnessIncreasing plus GaussianBlur and
+    PoissonNoise; MotionBlur and GaussianNoise are registered but (like the
+    reference, which comments them out of _RAND_TRANSFORMS) not sampled."""
+    from parseq_tpu.data import augment
+
+    increasing = [
+        'AutoContrast', 'Equalize', 'Invert', 'Rotate', 'PosterizeIncreasing',
+        'SolarizeIncreasing', 'SolarizeAdd', 'ColorIncreasing',
+        'ContrastIncreasing', 'BrightnessIncreasing', 'SharpnessIncreasing',
+        'ShearX', 'ShearY', 'TranslateXRel', 'TranslateYRel',
+    ]
+    want_sampled = [n for n in increasing if n != 'SharpnessIncreasing']
+    want_sampled += ['GaussianBlur', 'PoissonNoise']
+    assert sorted(augment.DEFAULT_TRANSFORM_NAMES) == sorted(want_sampled)
+    for name in want_sampled + ['MotionBlur', 'GaussianNoise']:
+        assert callable(augment.NAME_TO_OP[name]), name
+
+
+def test_motion_blur_smears_along_a_line():
+    import random
+
+    from parseq_tpu.data.augment import motion_blur
+
+    random.seed(3)
+    np.random.seed(3)
+    # single bright pixel: after motion blur, energy spreads but is conserved
+    arr = np.zeros((31, 61, 3), np.uint8)
+    arr[15, 30] = 255
+    out = np.asarray(motion_blur(Image.fromarray(arr), 10), np.float32)
+    assert (out > 0).sum() > 3 * 3  # spread beyond the original pixel
+    assert out.max() < 255  # energy was distributed, not copied
+    # output stays a valid RGB image of the same size
+    assert out.shape == arr.shape
+
+
+def test_pool_workers_have_distinct_rng_streams(tmp_path):
+    """Forked workers must not inherit identical RNG state (ADVICE.md):
+    each (seed, epoch, worker) gets its own stream."""
+    from parseq_tpu.data.loader import DataLoader
+
+    class NoiseDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            # worker-global RNG: identical worker states would yield
+            # identical values for items fetched by different workers
+            return np.full((2, 2, 3), np.random.random(), np.float32), f'w{i}'
+
+    ds = NoiseDataset()
+    vals_e0 = [float(img[0, 0, 0, 0]) for img, _, _ in DataLoader(ds, 1, num_workers=4, epoch=0)]
+    assert len(set(vals_e0)) == len(vals_e0), 'duplicate RNG draws across workers'
+    vals_e1 = [float(img[0, 0, 0, 0]) for img, _, _ in DataLoader(ds, 1, num_workers=4, epoch=1)]
+    assert set(vals_e0).isdisjoint(vals_e1), 'epoch RNG streams repeat'
