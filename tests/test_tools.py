@@ -45,3 +45,68 @@ def test_create_and_filter_lmdb(tmp_path):
         assert int(rd.get(b'num-samples')) == 2
         assert rd.get(b'label-000000001') == b'hello'
         assert rd.get(b'label-000000002') == b'world extra'
+
+
+def _run_tool(name, *args):
+    r = subprocess.run([sys.executable, str(REPO / 'tools' / name), *map(str, args)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def test_mlt19_converter(tmp_path):
+    (tmp_path / 'gt.txt').write_text(
+        'word_1.png,Latin,hello\n'
+        'word_2.png,Arabic,مرحبا\n'
+        'word_3.png,Symbols,$5,99\n'   # commas inside the transcription
+        'word_4.png,Latin,\n'          # empty label dropped
+        'word_5.png,Chinese,text\n',
+        encoding='utf8')
+    _run_tool('mlt19_converter.py', tmp_path)
+    got = (tmp_path / 'lmdb.txt').read_text(encoding='utf8').splitlines()
+    assert got == ['word_1.png\thello', 'word_3.png\t$5,99']
+
+
+def test_coco_text_converter(tmp_path):
+    for split, body in [('train', '1000\thi\nimg_1,STOP\nimg_2,|ca,fe|\n'),
+                        ('val', 'img_9,  word  \n')]:
+        (tmp_path / f'{split}_words_gt.txt').write_text(body, encoding='utf8')
+    _run_tool('coco_text_converter.py', tmp_path)
+    train = (tmp_path / 'train_lmdb.txt').read_text(encoding='utf8').splitlines()
+    # the tab-separated header line has no comma -> skipped
+    assert train == ['train_words/img_1.jpg\tSTOP', 'train_words/img_2.jpg\tca,fe']
+    val = (tmp_path / 'val_lmdb.txt').read_text(encoding='utf8').splitlines()
+    assert val == ['val_words/img_9.jpg\tword']
+
+
+def test_case_sensitive_converter(tmp_path):
+    (tmp_path / 'IMG').mkdir()
+    (tmp_path / 'label').mkdir()
+    for i, word in enumerate(['Foo', 'BaR', 'baz'], start=1):
+        _write_img(tmp_path / 'IMG' / f'{i}.png')
+        (tmp_path / 'label' / f'{i}.txt').write_text(word + '\nsecond line ignored\n')
+    _run_tool('case_sensitive_str_datasets_converter.py', tmp_path)
+    got = (tmp_path / 'lmdb.txt').read_text(encoding='utf-8').splitlines()
+    assert got == ['IMG/1.png\tFoo', 'IMG/2.png\tBaR', 'IMG/3.png\tbaz']
+
+
+def test_art_converter(tmp_path):
+    import json
+
+    labels = {
+        'gt_1': [{'language': 'Latin', 'illegibility': False, 'transcription': 'SHOP'}],
+        'gt_2': [{'language': 'Chinese', 'illegibility': False, 'transcription': 'kept?no'}],
+        'gt_3': [{'language': 'Latin', 'illegibility': True, 'transcription': 'blurry'}],
+        'gt_4': [{'language': 'Latin', 'illegibility': False, 'transcription': '###'}],
+        'gt_5': [{'language': 'Latin', 'illegibility': False, 'transcription': 'LocaL#3'}],
+        'gt_6': [{'language': 'latin', 'illegibility': False, 'transcription': '  pad  '}],
+        'gt_7': [{'language': 'Latin', 'illegibility': False, 'transcription': ''}],
+    }
+    src = tmp_path / 'train_task2_labels.json'
+    src.write_text(json.dumps(labels), encoding='utf8')
+    out = tmp_path / 'gt.txt'
+    _run_tool('art_converter.py', src, '--out', out)
+    got = out.read_text(encoding='utf8').splitlines()
+    assert got == ['train_task2_images/gt_1.jpg\tSHOP',
+                   'train_task2_images/gt_5.jpg\tLocaL#3',
+                   'train_task2_images/gt_6.jpg\tpad']

@@ -1,23 +1,49 @@
 #!/usr/bin/env python3
-"""Case-sensitive STR dataset dirs (IMG/ + label/) -> lmdb.txt (reference
-tools/case_sensitive_str_datasets_converter.py)."""
-import os.path
+"""Convert case-sensitive STR dataset layouts to an LMDB packing list.
+
+These datasets (released with case-sensitive STR evaluations) use a flat
+layout: images at ``IMG/<n>.<ext>`` and one-line label files at
+``label/<n>.txt``, numbered 1..N with a single extension (jpg or png) per
+dataset. The converter pairs each image with the first line of its label
+file (behavior parity with reference
+tools/case_sensitive_str_datasets_converter.py).
+
+Usage: python tools/case_sensitive_str_datasets_converter.py ROOT [--out NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
 import sys
 from pathlib import Path
 
-d = sys.argv[1]
-p = Path(d)
+sys.path.insert(0, str(Path(__file__).parent))
+from _gt_common import write_gt_list  # noqa: E402
 
-num_samples = len(list(p.glob('label/*.txt')))
-ext = 'jpg' if p.joinpath('IMG', '1.jpg').is_file() else 'png'
 
-gt = []
-for i in range(1, num_samples + 1):
-    img = p.joinpath('IMG', f'{i}.{ext}')
-    with open(p.joinpath('label', f'{i}.txt')) as f:
-        label = f.readline()
-    gt.append((os.path.join('IMG', img.name), label))
+def detect_extension(root: Path) -> str:
+    return 'jpg' if (root / 'IMG' / '1.jpg').is_file() else 'png'
 
-with open(d + '/lmdb.txt', 'w', encoding='utf-8') as f:
-    for fname, label in gt:
-        f.write('\t'.join([fname.strip(), label.strip()]) + '\n')
+
+def paired_records(root: Path):
+    """Yield (IMG/<n>.<ext>, label) over the numbered label files."""
+    ext = detect_extension(root)
+    count = sum(1 for _ in (root / 'label').glob('*.txt'))
+    for n in range(1, count + 1):
+        label = (root / 'label' / f'{n}.txt').read_text().splitlines()
+        yield f'IMG/{n}.{ext}', (label[0].strip() if label else '')
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('root', type=Path, help='dataset dir containing IMG/ and label/')
+    ap.add_argument('--out', default='lmdb.txt', help='output list file name')
+    args = ap.parse_args(argv)
+
+    n = write_gt_list(args.root / args.out, paired_records(args.root),
+                      encoding='utf-8')
+    print(f'{args.root / args.out}: {n} records')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,19 +1,53 @@
 #!/usr/bin/env python3
-"""COCO-Text v1.4 word gt files -> lmdb gt lists (reference
-tools/coco_text_converter.py)."""
+"""Convert COCO-Text v1.4 word ground truth to LMDB packing lists.
+
+COCO-Text v1.4 ships per-split files ``{split}_words_gt.txt`` with
+``filename,transcription`` lines (the transcription may contain commas, so
+only the first comma delimits); images live under ``{split}_words/`` as
+``<filename>.jpg``. Lines without a comma are metadata/blank lines and are
+skipped; transcriptions are whitespace-stripped and stripped of the ``|``
+markers the annotations wrap some words in (behavior parity with reference
+tools/coco_text_converter.py).
+
+Usage: python tools/coco_text_converter.py [ROOT] [--splits train val]
+"""
+
+from __future__ import annotations
+
+import argparse
 import sys
+from pathlib import Path
 
-root = sys.argv[1] if len(sys.argv) > 1 else '.'
+sys.path.insert(0, str(Path(__file__).parent))
+from _gt_common import read_text_lines, write_gt_list  # noqa: E402
 
-for s in ['train', 'val']:
-    with open(f'{root}/{s}_words_gt.txt', encoding='utf8') as f:
-        d = f.readlines()
-    with open(f'{root}/{s}_lmdb.txt', 'w', encoding='utf8') as f:
-        for line in d:
-            try:
-                fname, label = line.split(',', maxsplit=1)
-            except ValueError:
-                continue
-            fname = f'{s}_words/{fname.strip()}.jpg'
-            label = label.strip().strip('|')
-            f.write('\t'.join([fname, label]) + '\n')
+
+def word_records(lines, image_dir):
+    """Yield (image path, cleaned transcription) from one split's gt lines."""
+    for line in lines:
+        head, sep, transcription = line.partition(',')
+        if not sep:
+            continue  # malformed/blank line
+        yield f'{image_dir}/{head.strip()}.jpg', transcription.strip().strip('|')
+
+
+def convert_split(root: Path, split: str) -> int:
+    lines = read_text_lines(root / f'{split}_words_gt.txt')
+    return write_gt_list(root / f'{split}_lmdb.txt',
+                         word_records(lines, f'{split}_words'))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('root', type=Path, nargs='?', default=Path('.'),
+                    help='directory with {split}_words_gt.txt files')
+    ap.add_argument('--splits', nargs='+', default=['train', 'val'])
+    args = ap.parse_args(argv)
+
+    for split in args.splits:
+        n = convert_split(args.root, split)
+        print(f'{split}: {n} records')
+
+
+if __name__ == '__main__':
+    main()
