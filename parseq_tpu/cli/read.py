@@ -2,11 +2,11 @@
 
 Usage:
     python -m parseq_tpu.cli.read <checkpoint> --images img1.jpg img2.png
-        [--device cpu|tpu] [model_override:type=value ...]
+        [model_override:type=value ...]
 
 `checkpoint` may be a native .ckpt, a reference PyTorch .pt, or
-`pretrained=<experiment>` (requires the weight file to exist locally under
---weights_dir, since this environment has no network).
+`pretrained=<experiment>` (resolved from the checksum cache; downloads when
+the environment has network — see utils/pretrained.py).
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ import numpy as np
 
 from parseq_tpu.data.transforms import batch_images
 from parseq_tpu.utils.config import parse_model_args
-from parseq_tpu.utils.registry import create_model, load_from_checkpoint
+from parseq_tpu.utils.registry import load_from_checkpoint
 
 
 def main(argv=None):
@@ -28,11 +28,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     kwargs = parse_model_args(args.model_args)
-    if args.checkpoint.startswith('pretrained='):
-        model = create_model(args.checkpoint.split('=', 1)[1], **kwargs)
-        print('WARNING: no local weights given; using random init')
-    else:
-        model = load_from_checkpoint(args.checkpoint, **kwargs)
+    model = load_from_checkpoint(args.checkpoint, **kwargs)
     print(f'Additional model arguments: {kwargs}')
 
     images = batch_images(args.images, model.img_size)

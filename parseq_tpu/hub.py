@@ -15,7 +15,13 @@ from parseq_tpu.utils.registry import ModelBundle, create_model, load_from_check
 
 
 def _factory(experiment):
-    def fn(pretrained: str | None = None, **kwargs) -> ModelBundle:
+    def fn(pretrained: str | bool | None = None, **kwargs) -> ModelBundle:
+        if pretrained is True:
+            # torch.hub semantics: resolve the released weights from the
+            # checksum cache (downloading when the env has network).
+            from parseq_tpu.utils.pretrained import load_pretrained
+
+            return load_pretrained(experiment, **kwargs)
         if pretrained:
             return load_from_checkpoint(pretrained, **kwargs)
         return create_model(experiment, **kwargs)

@@ -287,6 +287,13 @@ def load_from_checkpoint(path: str, *, dtype=jnp.bfloat16, config_root=None, **k
     - our native .ckpt (msgpack, includes config), or
     - a reference PyTorch .pt/.ckpt (converted; model family from filename).
     """
+    if path.startswith('pretrained='):
+        # reference test.py/read.py accept `pretrained=<experiment>` as the
+        # checkpoint argument (strhub/models/utils.py:86-90)
+        from parseq_tpu.utils.pretrained import load_pretrained
+
+        return load_pretrained(path.split('=', 1)[1], dtype=dtype, **kwargs)
+
     if path.endswith('.pt') or _looks_like_torch(path):
         from parseq_tpu.utils.torch_convert import load_torch_state_dict
 

@@ -241,3 +241,36 @@ def test_multi_perm_loss_decreases_under_training():
         params, opt, loss = step(params, opt, jax.random.fold_in(key, i))
         losses.append(float(loss))
     assert losses[-1] < 0.65 * losses[0], losses[::10]
+
+
+@pytest.mark.slow
+def test_full_size_twin_parity():
+    """Converter parity at the *released* PARSeq-S geometry (384-dim,
+    12-layer encoder, 94-charset -> 97 tokens, 26 decode steps), so weight
+    conversion is certified at real scale, not just toy shapes
+    (reference configs/model/parseq.yaml + configs/charset/94_full.yaml)."""
+    cfg = parseq.PARSeqConfig(
+        num_tokens=97, max_label_length=25, img_size=(32, 128),
+        patch_size=(4, 8), embed_dim=384, enc_num_heads=6, enc_depth=12,
+        dec_num_heads=12, dec_depth=1, decode_ar=True, refine_iters=1,
+    )
+    torch.manual_seed(11)
+    twin = TwinPARSeq(
+        num_tokens=cfg.num_tokens, max_label_length=cfg.max_label_length,
+        img_size=cfg.img_size, patch_size=cfg.patch_size, d=cfg.embed_dim,
+        enc_heads=cfg.enc_num_heads, enc_mlp=4, enc_depth=cfg.enc_depth,
+        dec_heads=cfg.dec_num_heads, dec_mlp=4, dec_depth=cfg.dec_depth,
+    ).eval()
+    params = convert_parseq(dict(twin.state_dict()))
+
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((2, 3, *cfg.img_size), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(images), decode_ar=True, refine_iters=1).numpy()
+    got = np.asarray(parseq.forward(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1))))
+    # output shape [B, 26, 95] (25+EOS positions x 94 chars + EOS),
+    # reference README.md:111-112
+    assert got.shape == want.shape == (2, 26, 95)
+    # greedy decisions must agree exactly at full depth/width
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=5e-3)
