@@ -30,10 +30,24 @@ def _collate(items, batch_size):
 
 
 class DataLoader:
-    """Iterates (images (B,H,W,3) f32, labels list[str], valid (B,) bool)."""
+    """Iterates (images (B,H,W,3) f32, labels list[str], valid (B,) bool).
+
+    Multi-host SPMD (`shard_rank`/`shard_count`): `batch_size` is the GLOBAL
+    batch; every process derives the identical global shuffle from
+    (seed, epoch) and yields only its contiguous 1/shard_count slice of each
+    global batch (size batch_size // shard_count), matching DDP's
+    DistributedSampler semantics (reference train.py:65-71). The training
+    loop reassembles the global array with
+    jax.make_array_from_process_local_data.
+    """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=0, seed=0, prefetch=4, epoch=0):
+                 num_workers=0, seed=0, prefetch=4, epoch=0,
+                 shard_rank=0, shard_count=1):
+        assert batch_size % shard_count == 0, (
+            f'global batch {batch_size} not divisible by {shard_count} hosts')
+        assert shard_count == 1 or drop_last, (
+            'sharded loading requires drop_last (hosts must agree on batch count)')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +56,9 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = epoch
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
+        self.local_batch_size = batch_size // shard_count
         self._pool = None
 
     def set_epoch(self, epoch):
@@ -56,15 +73,17 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
+        lb = self.local_batch_size
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i : i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield chunk
+            # this host's contiguous slice of the global batch
+            yield chunk[self.shard_rank * lb : (self.shard_rank + 1) * lb]
 
     def _fetch(self, chunk):
         items = [self.dataset[int(i)] for i in chunk]
-        return _collate(items, self.batch_size)
+        return _collate(items, self.local_batch_size)
 
     def __iter__(self):
         if self.num_workers <= 0:
@@ -85,7 +104,7 @@ class DataLoader:
         worker_counter = ctx.Value('i', 0)
         with ctx.Pool(self.num_workers, initializer=_init_worker,
                       initargs=(self.dataset, worker_counter, self.seed, self.epoch)) as pool:
-            it = pool.imap(_worker_fetch, ((list(map(int, c)), self.batch_size) for c in self._index_batches()),
+            it = pool.imap(_worker_fetch, ((list(map(int, c)), self.local_batch_size) for c in self._index_batches()),
                            chunksize=1)
             # thread-side prefetch so the pool stays busy while the device runs
             q = queue.Queue(maxsize=self.prefetch)

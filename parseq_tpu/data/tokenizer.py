@@ -27,6 +27,7 @@ class BaseTokenizer(ABC):
     def __init__(self, charset: str, specials_first: tuple = (), specials_last: tuple = ()) -> None:
         self._itos = specials_first + tuple(charset) + specials_last
         self._stoi = {s: i for i, s in enumerate(self._itos)}
+        self._lut = np.asarray(self._itos, dtype=object)  # id -> token string
         self.charset = charset
 
     def __len__(self) -> int:
@@ -54,16 +55,33 @@ class BaseTokenizer(ABC):
 
         Greedy per-position argmax, then tokenizer-specific filtering
         (reference semantics: /root/reference/strhub/data/utils.py:79-99).
+        argmax/gather run batched (one numpy pass over (N, L, C)) — the
+        per-sample loop version was host-bound at high device throughput.
         """
         token_dists = np.asarray(token_dists)
+        ids = token_dists.argmax(-1)  # (N, L)
+        probs = np.take_along_axis(token_dists, ids[..., None], axis=-1)[..., 0]
+        return self.decode_ids(ids, probs, raw=raw)
+
+    def decode_ids(self, ids: np.ndarray, probs: np.ndarray,
+                   raw: bool = False) -> tuple[list, list[np.ndarray]]:
+        """Decode pre-argmaxed ids (N, L) with their picked probs (N, L).
+
+        Lets device-side post-processing (softmax + argmax + gather on TPU)
+        transfer ~100x less than the full (N, L, C) distribution tensor."""
+        ids = np.asarray(ids)
+        probs = np.asarray(probs)
+        if raw:
+            return [self._ids2tok(row, False) for row in ids], list(probs)
+        return self._decode_batch(probs, ids)
+
+    def _decode_batch(self, probs: np.ndarray, ids: np.ndarray) -> tuple[list, list[np.ndarray]]:
+        """Default batched filter: per-row _filter. Subclasses vectorize."""
         batch_tokens, batch_probs = [], []
-        for dist in token_dists:
-            ids = dist.argmax(-1)
-            probs = np.take_along_axis(dist, ids[:, None], axis=-1)[:, 0]
-            if not raw:
-                probs, ids = self._filter(probs, ids)
-            batch_tokens.append(self._ids2tok(ids, not raw))
-            batch_probs.append(probs)
+        for p_row, id_row in zip(probs, ids):
+            p, i = self._filter(p_row, id_row)
+            batch_tokens.append(self._ids2tok(i))
+            batch_probs.append(p)
         return batch_tokens, batch_probs
 
 
@@ -102,6 +120,17 @@ class Tokenizer(BaseTokenizer):
         # Truncate after EOS, but keep the EOS probability itself.
         return probs[: eos_idx + 1], ids[:eos_idx]
 
+    def _decode_batch(self, probs: np.ndarray, ids: np.ndarray) -> tuple[list, list[np.ndarray]]:
+        """Vectorized EOS truncation: one batched eos-position computation,
+        then cheap per-row slicing/joining over <= max_label_length chars."""
+        N, L = ids.shape
+        is_eos = ids == self.eos_id
+        eos_pos = np.where(is_eos.any(axis=1), is_eos.argmax(axis=1), L)
+        tokens = [''.join(self._lut[row[:e]]) for row, e in zip(ids, eos_pos)]
+        # keep the EOS probability itself (confidence includes p(EOS))
+        batch_probs = [p[: e + 1] for p, e in zip(probs, eos_pos)]
+        return tokens, batch_probs
+
 
 class CTCTokenizer(BaseTokenizer):
     """BLANK-based tokenizer for CTC models (CRNN, TRBC)."""
@@ -128,3 +157,13 @@ class CTCTokenizer(BaseTokenizer):
         ids = [k for k, _ in groupby(ids.tolist())]
         ids = [x for x in ids if x != self.blank_id]
         return probs, ids
+
+    def _decode_batch(self, probs: np.ndarray, ids: np.ndarray) -> tuple[list, list[np.ndarray]]:
+        """Vectorized best-path decode: repeat-collapse and blank-drop as one
+        batched boolean mask (position kept iff it differs from its left
+        neighbor and is not blank), then per-row joins."""
+        N, L = ids.shape
+        prev = np.concatenate([np.full((N, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
+        keep = (ids != prev) & (ids != self.blank_id)
+        tokens = [''.join(self._lut[row[k]]) for row, k in zip(ids, keep)]
+        return tokens, list(probs)

@@ -409,7 +409,7 @@ def refine(params, cfg: PARSeqConfig, memory, logits, dtype=jnp.float32):
 
 
 def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=False,
-            use_fused_ar=False):
+            use_fused_ar=True):
     """Full inference: encode -> AR or NAR decode -> refinement.
 
     Always decodes the full num_steps positions (static shape); the
@@ -422,12 +422,16 @@ def forward(params, cfg: PARSeqConfig, images, dtype=jnp.float32, early_exit=Fal
     memory = encode(params, cfg, images)
     if cfg.decode_ar:
         # AR implementations, measured on v5e-1 at batch 256 (PERF.md):
-        #   lax.scan (default)      ~10 ms/batch — reference-exact greedy path
-        #   ar_decode_kvcache       slower (op-dispatch-bound loop)
-        #   ar_decode_fused (pallas whole-loop kernel) ~6.5 ms/batch, argmax
-        #     differs on ~1% of positions vs the scan under random weights
-        #     (bf16 reassociation) -> opt-in via use_fused_ar.
-        if use_fused_ar and cfg.dec_depth == 1 and jax.default_backend() != 'cpu':
+        #   ar_decode_fused (pallas whole-loop kernel, DEFAULT on TPU when
+        #     dec_depth == 1) — fastest AND numerically closest to the f32
+        #     ground truth of any bf16 path: f32 residual stream + f32
+        #     attention scores inside the kernel (PERF.md equivalence table)
+        #   lax.scan — used on CPU, for dec_depth > 1, with early_exit, and
+        #     whenever use_fused_ar=False; standard bf16 activation profile
+        #   ar_decode_kvcache — slower (op-dispatch-bound loop), kept as a
+        #     derivation reference
+        if (use_fused_ar and not early_exit and cfg.dec_depth == 1
+                and jax.default_backend() != 'cpu'):
             from parseq_tpu.ops.ar_kernel import ar_decode_fused
 
             logits = ar_decode_fused(params, cfg, memory.astype(jnp.bfloat16))

@@ -98,16 +98,20 @@ def _kernel(mem_k_ref, mem_v_ref,  # (M, bb, D) — keys-first layout so all
 
         # ---- self-attention: single query (precomputed projection) over cache
         qh = q_proj_ref[pl.ds(i, 1), :]  # (1, D) f32-storable
-        # scores[k, b, h] = sum_{d in head h} q[d] * k_cache[k, b, d]
-        prod = k_cache * qh[None].astype(k_cache.dtype)  # (n, bb, D)
-        scores = _dot(prod.reshape(n * bb, D).astype(jnp.bfloat16), G) * inv_sqrt_dh
+        # scores[k, b, h] = sum_{d in head h} q[d] * k_cache[k, b, d].
+        # f32 throughout: an f32 elementwise product of bf16-valued inputs is
+        # exactly the MXU's bf16xbf16 product, and the f32 G-matmul is an f32
+        # segment-sum — this reproduces the exact scan's q@k^T numerics (the
+        # bf16 version rounded each product, diverging greedy picks).
+        prod = k_cache.astype(jnp.float32) * qh[None].astype(jnp.float32)  # (n, bb, D)
+        scores = _dot(prod.reshape(n * bb, D), G.astype(jnp.float32)) * inv_sqrt_dh
         scores = scores.reshape(n, bb, LANE)
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (n, bb, LANE), 0)
         scores = jnp.where(key_idx <= i, scores, -1e9)
         smax = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - smax)
         probs = e / jnp.sum(e, axis=0, keepdims=True)  # (n, bb, LANE) f32
-        pl_lanes = _dot(probs.reshape(n * bb, LANE).astype(jnp.bfloat16), GT_ref[...])
+        pl_lanes = _dot(probs.reshape(n * bb, LANE), GT_ref[...].astype(jnp.float32))
         pl_lanes = pl_lanes.reshape(n, bb, D)
         sa = jnp.sum(pl_lanes * v_cache.astype(jnp.float32), axis=0)  # (bb, D)
         sa = _dot(sa.astype(jnp.bfloat16), wo_ref[...]) + bo_ref[...]
@@ -116,13 +120,15 @@ def _kernel(mem_k_ref, mem_v_ref,  # (M, bb, D) — keys-first layout so all
         # ---- cross-attention to memory (K/V pre-projected outside)
         cqv = _ln(tgt, ln_ref[2:3, :], ln_ref[3:4, :])
         cq = _dot(cqv.astype(jnp.bfloat16), cq_ref[...]) + cqb_ref[...]  # (bb, D)
-        prod2 = mem_k * cq.astype(mem_k.dtype)[None]  # (M, bb, D)
-        scores2 = _dot(prod2.reshape(M * bb, D).astype(jnp.bfloat16), G) * inv_sqrt_dh
+        # f32 score path, same reasoning as self-attention above
+        prod2 = mem_k.astype(jnp.float32) * cq[None]  # (M, bb, D)
+        scores2 = _dot(prod2.reshape(M * bb, D), G.astype(jnp.float32)) * inv_sqrt_dh
         scores2 = scores2.reshape(M, bb, LANE)
         smax2 = jnp.max(scores2, axis=0, keepdims=True)
         e2 = jnp.exp(scores2 - smax2)
         probs2 = e2 / jnp.sum(e2, axis=0, keepdims=True)
-        p2 = _dot(probs2.reshape(M * bb, LANE).astype(jnp.bfloat16), GT_ref[...]).reshape(M, bb, D)
+        p2 = _dot(probs2.reshape(M * bb, LANE),
+                  GT_ref[...].astype(jnp.float32)).reshape(M, bb, D)
         ca = jnp.sum(p2 * mem_v.astype(jnp.float32), axis=0)  # (bb, D)
         ca = _dot(ca.astype(jnp.bfloat16), co_ref[...]) + cob_ref[...]
         tgt = tgt + ca

@@ -1,3 +1,4 @@
-from .mesh import make_mesh, replicated, shard_batch
+from .mesh import batch_sharding, global_batch, make_mesh, replicate, replicated, shard_batch
 
-__all__ = ['make_mesh', 'shard_batch', 'replicated']
+__all__ = ['batch_sharding', 'global_batch', 'make_mesh', 'replicate',
+           'replicated', 'shard_batch']

@@ -41,6 +41,37 @@ def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-process safe: when the mesh spans non-addressable devices,
+    jax.device_put cannot place host values, so each process contributes its
+    (identical) copy via jax.make_array_from_process_local_data. PRNG key
+    arrays round-trip through key_data/wrap_key_data.
+    """
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        if hasattr(x, 'dtype') and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = jax.device_get(jax.random.key_data(x))
+            impl = jax.random.key_impl(x)
+            g = jax.make_array_from_process_local_data(sh, np.asarray(data))
+            return jax.random.wrap_key_data(g, impl=impl)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
+def global_batch(x, mesh: Mesh, axis: str = 'data'):
+    """Assemble a global batch-sharded array from this process's local shard.
+
+    Single-process: plain device_put. Multi-process: `x` is this host's
+    contiguous slice of the global batch (see DataLoader shard_rank/count);
+    jax.make_array_from_process_local_data stitches the global array without
+    any cross-host transfer of array data.
+    """
+    sh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))

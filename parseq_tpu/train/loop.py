@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from parseq_tpu.data.module import SceneTextDataModule
 from parseq_tpu.ops import ctc as ctc_ops
-from parseq_tpu.parallel import make_mesh
+from parseq_tpu.parallel import global_batch, make_mesh, replicate
 from parseq_tpu.train import optim
 from parseq_tpu.train.evaluate import BatchResult, score_batch, summarize
 from parseq_tpu.train.families import get_family
@@ -53,10 +53,15 @@ def _as_tree(params):
 def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
           max_steps: int | None = None, seed: int = 0):
     """Run training from a composed config dict (utils.config.compose())."""
+    # Multi-host SPMD: every process runs this loop in lockstep over the same
+    # global mesh; only process 0 writes checkpoints/metrics (reference DDP
+    # rank-zero semantics).
+    is_main = jax.process_index() == 0
     work_dir = Path(work_dir)
-    work_dir.mkdir(parents=True, exist_ok=True)
-    (work_dir / 'config.json').write_text(json.dumps(config, indent=2, default=str))
-    jlog = JsonlLogger(work_dir / 'metrics.jsonl')
+    if is_main:
+        work_dir.mkdir(parents=True, exist_ok=True)
+        (work_dir / 'config.json').write_text(json.dumps(config, indent=2, default=str))
+    jlog = JsonlLogger(work_dir / 'metrics.jsonl') if is_main else None
 
     mcfg = config['model']
     dcfg = config['data']
@@ -78,7 +83,9 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         dcfg.get('num_workers', 2), dcfg.get('augment', True),
         dcfg.get('remove_whitespace', True), dcfg.get('normalize_unicode', True),
     )
-    train_loader = dm.train_dataloader(seed=seed)
+    n_procs = jax.process_count()
+    train_loader = dm.train_dataloader(seed=seed, shard_rank=jax.process_index(),
+                                       shard_count=n_procs)
     if len(train_loader) == 0:
         raise ValueError(
             f'empty training loader: {len(dm.train_dataset)} samples with '
@@ -132,7 +139,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             state = serialization.from_bytes(state, f.read())
         start_step = int(state['step'])
         log.info(f'resumed training state from {resume} at step {start_step}')
-    state = jax.device_put(state, repl)
+    state = replicate(state, mesh)
     swa_start = int(ocfg.swa_epoch_start * total_steps) if ocfg.swa else total_steps
     swa_state = None
 
@@ -158,10 +165,12 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     jitted = {k: jit_step(v) for k, v in steps_by_phase.items()}
     alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_steps
 
-    fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh))
+    # out_shardings=repl: the all-gathered logits are addressable on every
+    # host, so device_get works under multi-process too.
+    fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh), out_shardings=repl)
 
-    perm_rng = np.random.default_rng(seed)
-    base_rng = jax.device_put(jax.random.key(seed), repl)
+    perm_rng = np.random.default_rng(seed)  # identical stream on every host
+    base_rng = replicate(jax.random.key(seed), mesh)
 
     def val_loss_from_logits(logits, labels, batch_size):
         if family.val == 'ctc':
@@ -185,11 +194,21 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         return float(jnp.sum(nll * valid) / max(numel, 1)), numel
 
     def validate(tree):
+        # Every host evaluates the full val set (loaders unsharded): metrics
+        # are identical across hosts with no collective needed — val is small
+        # relative to training (reference sync_dist equivalence).
         total = BatchResult()
         for images, labels, valid in dm.val_dataloader():
-            logits = fwd(_maybe_flatten(tree), jnp.asarray(images))
-            loss, numel = val_loss_from_logits(logits, labels, images.shape[0])
-            probs = jax.nn.softmax(logits, axis=-1)
+            B = images.shape[0]
+            if n_procs > 1:
+                lb = B // n_procs
+                local = images[jax.process_index() * lb:(jax.process_index() + 1) * lb]
+                logits = np.asarray(jax.device_get(fwd(_maybe_flatten(tree),
+                                                       global_batch(local, mesh))))
+            else:
+                logits = fwd(_maybe_flatten(tree), jnp.asarray(images))
+            loss, numel = val_loss_from_logits(logits, labels, B)
+            probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
             total.add(score_batch(tok, bundle.charset_adapter, jax.device_get(probs),
                                   labels, valid, loss, numel))
         res = summarize('val', total)
@@ -227,35 +246,40 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
 
                 new_align = abinet_mod.alignment_init(jax.random.key(seed + 1), cfg)
                 params = dict(state['params'])
-                params['alignment'] = jax.device_put(new_align, repl)
+                params['alignment'] = replicate(new_align, mesh)
                 state = dict(state, params=params)
                 alignment_reset_done = True
-            batch = {'images': jnp.asarray(images)}
-            batch.update({k: jnp.asarray(v) for k, v in
-                          family.prepare(tok, labels, cfg, perm_rng).items()})
-            batch = {k: jax.device_put(v, data_sh if v.shape[:1] == (images.shape[0],) else repl)
+            # batch-dim arrays (leading dim == local batch) are globally
+            # sharded from each host's slice; shared arrays (perms) are
+            # replicated — identical on every host by perm_rng construction.
+            batch = {'images': images}
+            batch.update(family.prepare(tok, labels, cfg, perm_rng))
+            batch = {k: global_batch(v, mesh) if v.shape[:1] == (images.shape[0],)
+                     else replicate(jnp.asarray(v), mesh)
                      for k, v in batch.items()}
             state, metrics = jitted[pretraining if is_abinet else False](state, batch, base_rng)
             step += 1
-            if step % 50 == 0 or step == start_step + 1:
+            if (step % 50 == 0 or step == start_step + 1) and jlog:
                 m = jax.device_get(metrics)
                 jlog.log(step=step, epoch=epoch, loss=float(m['loss']),
                          grad_norm=float(m['grad_norm']), lr=float(sched(step)),
                          wall=round(time.time() - t_start, 1))
             if step % val_interval == 0 or step == total_steps:
                 res, val_loss = validate(state)
-                jlog.log(step=step, val_accuracy=res.accuracy, val_NED=res.ned,
-                         val_loss=float(val_loss), val_confidence=res.confidence)
+                if jlog:
+                    jlog.log(step=step, val_accuracy=res.accuracy, val_NED=res.ned,
+                             val_loss=float(val_loss), val_confidence=res.confidence)
                 log.info(f'step {step}: val_acc={res.accuracy:.2f} NED={res.ned:.2f} loss={val_loss:.4f}')
-                ckpt_tree = jax.device_get({'params': state['params'], 'stats': state['stats']})
-                best_path = save_topk(work_dir / 'checkpoints', step, res.accuracy,
-                                      _maybe_flatten(ckpt_tree), cfg,
-                                      meta={'name': name, 'model_config': mcfg}, k=3)
-                # Resumable full training state (params+stats+opt+step).
-                from flax import serialization
+                if is_main:
+                    ckpt_tree = jax.device_get({'params': state['params'], 'stats': state['stats']})
+                    best_path = save_topk(work_dir / 'checkpoints', step, res.accuracy,
+                                          _maybe_flatten(ckpt_tree), cfg,
+                                          meta={'name': name, 'model_config': mcfg}, k=3)
+                    # Resumable full training state (params+stats+opt+step).
+                    from flax import serialization
 
-                with open(work_dir / 'checkpoints' / 'train_state.ckpt', 'wb') as f:
-                    f.write(serialization.to_bytes(jax.device_get(state)))
+                    with open(work_dir / 'checkpoints' / 'train_state.ckpt', 'wb') as f:
+                        f.write(serialization.to_bytes(jax.device_get(state)))
             if ocfg.swa and step >= swa_start and (step - swa_start) % steps_per_epoch == 0:
                 if swa_state is None:
                     swa_state = optim.swa_init(state['params'])
@@ -283,14 +307,15 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             for bi, (images, labels, valid) in enumerate(train_loader):
                 if bi >= n_bn_batches:
                     break
-                batch = {'images': jnp.asarray(images)}
-                batch.update({k: jnp.asarray(v) for k, v in
-                              family.prepare(tok, labels, cfg, perm_rng).items()})
-                batch = {k: jax.device_put(v, data_sh if v.shape[:1] == (images.shape[0],) else repl)
+                batch = {'images': images}
+                batch.update(family.prepare(tok, labels, cfg, perm_rng))
+                batch = {k: global_batch(v, mesh) if v.shape[:1] == (images.shape[0],)
+                         else replicate(jnp.asarray(v), mesh)
                          for k, v in batch.items()}
                 swa_stats = jstats(swa_params, swa_stats, batch, base_rng)
             log.info(f'SWA: re-estimated BatchNorm stats over {n_bn_batches} batches')
-        tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(swa_stats)}
-        save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt', _maybe_flatten(tree), cfg,
-                        meta={'name': name, 'model_config': mcfg, 'swa': True})
+        if is_main:
+            tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(swa_stats)}
+            save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt', _maybe_flatten(tree), cfg,
+                            meta={'name': name, 'model_config': mcfg, 'swa': True})
     return state, best_path

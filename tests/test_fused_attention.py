@@ -78,9 +78,18 @@ def test_nosplit_reference_equals_mha_math():
 
 
 def test_fused_ar_kernel_interpret_parity():
-    """Whole-loop AR kernel (interpret mode) is argmax-identical to the scan."""
+    """Whole-loop AR kernel (interpret mode) matches scan numerics per step.
+
+    Cascade-free comparison: the scan decoder is teacher-forced on the
+    *kernel's own* greedy prefix, so both paths see identical inputs at every
+    step and logits compare directly. (A raw fused-vs-scan argmax identity is
+    not a numerics property under random weights — near-tie greedy picks fork
+    the sequence; accuracy equivalence on trained weights is proven at full
+    scale in experiments/fused_ar_fullsize.py / PERF.md.)
+    """
     import jax
     from parseq_tpu.models import parseq
+    from parseq_tpu.models.parseq import _causal_bias
     from parseq_tpu.ops.ar_kernel import ar_decode_fused
 
     cfg = parseq.PARSeqConfig(num_tokens=13, max_label_length=7, img_size=(32, 64),
@@ -90,9 +99,22 @@ def test_fused_ar_kernel_interpret_parity():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((4, 32, 64, 3)).astype(np.float32))
     memory = parseq.encode(params, cfg, images)
-    want = parseq.ar_decode(params, cfg, memory)
-    got = ar_decode_fused(params, cfg, memory.astype(jnp.bfloat16),
-                          batch_block=2, interpret=True)
-    assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
-    np.testing.assert_array_equal(np.asarray(got).argmax(-1), np.asarray(want).argmax(-1))
+    got = np.asarray(ar_decode_fused(params, cfg, memory.astype(jnp.bfloat16),
+                                     batch_block=2, interpret=True))
+    B, n = got.shape[:2]
+    assert got.shape == (B, n, cfg.num_classes)
+
+    # teacher-forced scan on the kernel's own prefix: [BOS, tok_0, ..]
+    toks = got.argmax(-1).astype(np.int32)
+    tgt_in = np.concatenate([np.full((B, 1), cfg.bos_id, np.int32), toks[:, :-1]], 1)
+    causal = _causal_bias(n)
+    q = jnp.broadcast_to(params['pos_queries'], (B, n, cfg.embed_dim))
+    out = parseq.decode(params, cfg, jnp.asarray(tgt_in), memory, query=q,
+                        query_bias=causal, content_bias=causal)
+    want = np.asarray(parseq.head(params, out))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    # greedy picks agree wherever the margin exceeds the bf16 noise floor
+    top2 = np.sort(want, -1)[..., -2:]
+    confident = (top2[..., 1] - top2[..., 0]) > 0.05
+    np.testing.assert_array_equal(got.argmax(-1)[confident],
+                                  want.argmax(-1)[confident])
