@@ -51,8 +51,14 @@ def _as_tree(params):
 
 
 def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
-          max_steps: int | None = None, seed: int = 0):
-    """Run training from a composed config dict (utils.config.compose())."""
+          max_steps: int | None = None, seed: int = 0, val_callback=None):
+    """Run training from a composed config dict (utils.config.compose()).
+
+    val_callback, if given, is invoked after every validation with a metrics
+    dict (step, training_iteration, loss, NED, accuracy); returning True stops
+    training early — the hook the tune CLI's stoppers plug into (reference
+    tune.py:42-91 stop semantics via Ray's `tune.Stopper` protocol).
+    """
     # Multi-host SPMD: every process runs this loop in lockstep over the same
     # global mesh; only process 0 writes checkpoints/metrics (reference DDP
     # rank-zero semantics).
@@ -224,13 +230,15 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     step = start_step
     t_start = time.time()
     best_path = None
+    stop_early = False
+    n_validations = 0
     # Resume continues the data stream where it left off: same epoch shuffle
     # order (set_epoch), skipping the batches already consumed.
     start_epoch = start_step // steps_per_epoch
     skip_batches = start_step % steps_per_epoch
     log.info(f'training {name}: {total_steps} steps, {steps_per_epoch}/epoch, mesh={n_devices}dev')
     for epoch in range(start_epoch, 10 ** 9):
-        if step >= total_steps:
+        if step >= total_steps or stop_early:
             break
         train_loader.set_epoch(epoch)
         for bi, (images, labels, valid) in enumerate(train_loader):
@@ -280,6 +288,14 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
 
                     with open(work_dir / 'checkpoints' / 'train_state.ckpt', 'wb') as f:
                         f.write(serialization.to_bytes(jax.device_get(state)))
+                n_validations += 1
+                if val_callback is not None and val_callback({
+                        'step': step, 'training_iteration': n_validations,
+                        'loss': float(val_loss), 'NED': res.ned,
+                        'accuracy': res.accuracy}):
+                    log.info(f'early stop requested by val_callback at step {step}')
+                    stop_early = True
+                    break
             if ocfg.swa and step >= swa_start and (step - swa_start) % steps_per_epoch == 0:
                 if swa_state is None:
                     swa_state = optim.swa_init(state['params'])
