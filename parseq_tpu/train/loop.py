@@ -68,6 +68,11 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         work_dir.mkdir(parents=True, exist_ok=True)
         (work_dir / 'config.json').write_text(json.dumps(config, indent=2, default=str))
     jlog = JsonlLogger(work_dir / 'metrics.jsonl') if is_main else None
+    # TensorBoard-compatible scalar events (reference train.py:101-107
+    # TensorBoardLogger), written by our own tfevents encoder.
+    from parseq_tpu.utils.tbevents import TBEventWriter
+
+    tb = TBEventWriter(work_dir / 'tb') if is_main else None
 
     mcfg = config['model']
     dcfg = config['data']
@@ -272,11 +277,20 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
                 jlog.log(step=step, epoch=epoch, loss=float(m['loss']),
                          grad_norm=float(m['grad_norm']), lr=float(sched(step)),
                          wall=round(time.time() - t_start, 1))
+                tb.add_scalars(step, {'loss': float(m['loss']),
+                                      'grad_norm': float(m['grad_norm']),
+                                      'lr': float(sched(step))})
             if step % val_interval == 0 or step == total_steps:
                 res, val_loss = validate(state)
                 if jlog:
                     jlog.log(step=step, val_accuracy=res.accuracy, val_NED=res.ned,
                              val_loss=float(val_loss), val_confidence=res.confidence)
+                    # hp_metric mirrors the reference's TensorBoard summary
+                    # metric (base.py:171-177).
+                    tb.add_scalars(step, {'val_accuracy': res.accuracy,
+                                          'val_NED': res.ned,
+                                          'val_loss': float(val_loss),
+                                          'hp_metric': res.accuracy})
                 log.info(f'step {step}: val_acc={res.accuracy:.2f} NED={res.ned:.2f} loss={val_loss:.4f}')
                 if is_main:
                     ckpt_tree = jax.device_get({'params': state['params'], 'stats': state['stats']})
@@ -334,4 +348,6 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             tree = {'params': jax.device_get(swa_state['avg']), 'stats': jax.device_get(swa_stats)}
             save_checkpoint(work_dir / 'checkpoints' / 'swa.ckpt', _maybe_flatten(tree), cfg,
                             meta={'name': name, 'model_config': mcfg, 'swa': True})
+    if tb:
+        tb.close()
     return state, best_path

@@ -62,10 +62,16 @@ def swa_lr(cfg: OptimConfig) -> float:
 
 def onecycle_schedule(cfg: OptimConfig):
     peak = scaled_lr(cfg)
+    total = max(int(cfg.total_steps), 2)
+    # optax floors the warmup boundary to int(pct_start * total); for tiny
+    # runs that collapses the warmup interval to zero width and the piecewise
+    # interpolation divides by zero (NaN LR from step 0). Keep both phases at
+    # least one step wide — a no-op at production step counts.
+    pct = min(max(cfg.warmup_pct, 1.0 / total), (total - 1.0) / total)
     base = optax.cosine_onecycle_schedule(
-        transition_steps=cfg.total_steps,
+        transition_steps=total,
         peak_value=peak,
-        pct_start=cfg.warmup_pct,
+        pct_start=pct,
         div_factor=cfg.div_factor,
         final_div_factor=cfg.final_div_factor,
     )

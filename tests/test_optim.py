@@ -81,3 +81,17 @@ def test_abinet_optimizer_lm_lr_switch():
     up, _ = tx.update(g, state, params)
     # during pretraining the LM update magnitude differs from the vision one
     assert not np.allclose(np.asarray(up['language']['w']), np.asarray(up['vision']['w']))
+
+
+def test_onecycle_finite_at_tiny_total_steps():
+    """Regression: optax floors the warmup boundary to int(pct*total); with
+    total_steps=2 that made a zero-width interval and NaN LR from step 0."""
+    import numpy as np
+
+    from parseq_tpu.train.optim import OptimConfig, onecycle_schedule
+
+    for total in (2, 3, 5, 13):
+        sched = onecycle_schedule(OptimConfig(total_steps=total, swa=False))
+        vals = np.asarray([float(sched(s)) for s in range(total + 1)])
+        assert np.isfinite(vals).all(), (total, vals)
+        assert (vals > 0).all()
