@@ -14,6 +14,15 @@ implements the on-disk format directly:
 
 Format reference: LMDB 0.9.x data format (MDB_DATA_VERSION = 1), 4096-byte
 pages, 16-byte page headers, 8-byte node headers, 64-bit layout.
+
+Compatibility testing: tests/test_lmdb_fuzz.py fuzzes page-boundary node
+sizes, overflow spans, 1..511-byte keys and deep trees, and validates every
+emitted file against an independently written structural checker derived
+from the LMDB 0.9 struct layout. Residual risk: no golden file authored by
+real liblmdb exists in this offline environment, so a misunderstanding of
+the spec shared by writer, reader AND the independent validator would pass
+undetected; parsing a reference-produced benchmark .mdb remains the final
+acceptance test when one is available.
 """
 
 from __future__ import annotations
@@ -241,11 +250,18 @@ class LmdbWriter:
         self.path = p
         self._kv = {}
 
+    # liblmdb rejects empty keys and keys over its compile-time default
+    # MDB_MAXKEYSIZE=511 (MDB_BAD_VALSIZE); enforce the same bounds so every
+    # file we emit is one liblmdb could have produced.
+    MAX_KEY_SIZE = 511
+
     def put(self, key: bytes, value: bytes):
         if isinstance(key, str):
             key = key.encode()
         if isinstance(value, str):
             value = value.encode()
+        if not 1 <= len(key) <= self.MAX_KEY_SIZE:
+            raise LmdbError(f'bad key size {len(key)} (liblmdb allows 1..{self.MAX_KEY_SIZE})')
         self._kv[bytes(key)] = bytes(value)
 
     def __enter__(self):
@@ -258,10 +274,6 @@ class LmdbWriter:
     def close(self):
         items = sorted(self._kv.items())
         pages = []  # list of bytes, index = pgno - 2 (pages 0,1 are meta)
-
-        def alloc(data: bytes) -> int:
-            pages.append(data)
-            return len(pages) + 1  # pgno
 
         def page_bytes(pgno, flags, nodes):
             """Assemble a branch/leaf page from a list of node byte strings."""
