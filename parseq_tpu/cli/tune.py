@@ -133,8 +133,11 @@ def run_trial(config, lr, steps, work_dir, *, trial_id=None, stoppers=(), seed=0
         stopped['early'] = stopped['early'] or stop
         return stop
 
+    # reuse_compiled: trials differ only in LR, which is injected into the
+    # optimizer state — every trial after the first runs with zero recompiles.
     train(cfg, work_dir, max_steps=steps, seed=seed,
-          val_callback=val_callback if trial_id is not None else None)
+          val_callback=val_callback if trial_id is not None else None,
+          reuse_compiled=True)
     # read the last val metrics from the jsonl log
     metrics = [json.loads(l) for l in open(Path(work_dir) / 'metrics.jsonl')]
     vals = [m for m in metrics if 'val_NED' in m]

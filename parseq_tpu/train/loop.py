@@ -50,14 +50,28 @@ def _as_tree(params):
         'params': params, 'stats': {}}
 
 
+# Compiled-step reuse across train() calls that differ only in LR (tune
+# trials): key -> (tx, jitted step dict, jitted fwd). Works because with
+# optim.make_optimizer(inject_lr=True) the LR lives in the optimizer state,
+# so the compiled computation is LR-independent (PERF.md "next levers" #3).
+_COMPILE_CACHE: dict = {}
+
+
 def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
-          max_steps: int | None = None, seed: int = 0, val_callback=None):
+          max_steps: int | None = None, seed: int = 0, val_callback=None,
+          reuse_compiled=False):
     """Run training from a composed config dict (utils.config.compose()).
 
     val_callback, if given, is invoked after every validation with a metrics
     dict (step, training_iteration, loss, NED, accuracy); returning True stops
     training early — the hook the tune CLI's stoppers plug into (reference
     tune.py:42-91 stop semantics via Ray's `tune.Stopper` protocol).
+
+    reuse_compiled: share compiled train/eval steps across train() calls in
+    this process that differ only in model.lr (the tune CLI's trial loop) —
+    the LR is injected into optimizer state instead of baked into the
+    schedule. Not supported for ABINet's staged multi-LR training (falls
+    back to per-call compilation).
     """
     # Multi-host SPMD: every process runs this loop in lockstep over the same
     # global mesh; only process 0 writes checkpoints/metrics (reference DDP
@@ -131,14 +145,30 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
 
     is_abinet = 'abinet' in name
     pretrain_frac = 8 / 18  # system.py:106-110
+    reuse_compiled = reuse_compiled and not is_abinet
+    cache_key = None
+    if reuse_compiled:
+        import dataclasses
+
+        cache_key = (name, cfg, dataclasses.replace(ocfg, lr=0.0), compute_dtype,
+                     tuple(d.id for d in jax.devices()[:n_devices]),
+                     bool(mcfg.get('lm_only')))
     if is_abinet:
         tx, sched = optim.make_abinet_optimizer(
             ocfg, mcfg.get('l_lr', mcfg['lr']), int(pretrain_frac * total_steps),
             tree0['params'])
+    elif cache_key in _COMPILE_CACHE:
+        tx = _COMPILE_CACHE[cache_key][0]
+        _, sched = optim.make_optimizer(ocfg, tree0['params'], inject_lr=True)
     else:
-        tx, sched = optim.make_optimizer(ocfg, tree0['params'])
+        tx, sched = optim.make_optimizer(ocfg, tree0['params'],
+                                         inject_lr=reuse_compiled)
     state = {'params': tree0['params'], 'stats': tree0['stats'],
              'opt_state': tx.init(tree0['params']), 'step': jnp.zeros((), jnp.int32)}
+    if reuse_compiled:
+        # tx.init seeded step_size from the tx-construction-time LR; make the
+        # trial's LR explicit regardless of which cached tx we reused.
+        state['opt_state'] = optim.set_injected_lr(state['opt_state'], ocfg.lr)
 
     # Resume full training state (reference ckpt_path, train.py:96-108).
     start_step = 0
@@ -173,12 +203,17 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         return jax.jit(fn, in_shardings=(repl, None, repl), out_shardings=(repl, repl),
                        donate_argnums=(0,))
 
-    jitted = {k: jit_step(v) for k, v in steps_by_phase.items()}
+    if cache_key is not None and cache_key in _COMPILE_CACHE:
+        _, jitted, fwd = _COMPILE_CACHE[cache_key]
+    else:
+        jitted = {k: jit_step(v) for k, v in steps_by_phase.items()}
+        # out_shardings=repl: the all-gathered logits are addressable on every
+        # host, so device_get works under multi-process too.
+        fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh),
+                      out_shardings=repl)
+        if cache_key is not None:
+            _COMPILE_CACHE[cache_key] = (tx, jitted, fwd)
     alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_steps
-
-    # out_shardings=repl: the all-gathered logits are addressable on every
-    # host, so device_get works under multi-process too.
-    fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh), out_shardings=repl)
 
     perm_rng = np.random.default_rng(seed)  # identical stream on every host
     base_rng = replicate(jax.random.key(seed), mesh)

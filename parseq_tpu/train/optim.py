@@ -129,18 +129,54 @@ def make_abinet_optimizer(cfg: OptimConfig, l_lr: float, pretrain_end: int, para
     return tx, main_sched
 
 
-def make_optimizer(cfg: OptimConfig, params):
-    sched = onecycle_schedule(cfg)
+def make_optimizer(cfg: OptimConfig, params, *, inject_lr=False):
+    """AdamW + OneCycle. With inject_lr=True the base LR lives in the
+    optimizer STATE (optax.inject_hyperparams) instead of being baked into
+    the compiled schedule: the optimizer runs a unit-LR schedule (the whole
+    OneCycle curve, SWA tail included, scales linearly with cfg.lr) and a
+    final runtime `scale(step_size=cfg.lr)`. A jitted train step built this
+    way is reusable across learning rates — the tune CLI changes LR by
+    writing opt_state hyperparams (set_injected_lr) with zero recompiles.
+    AdamW semantics are preserved: torch couples weight decay with lr
+    (p -= lr*wd*p), so scaling the whole update by lr matches."""
+    if not inject_lr:
+        sched = onecycle_schedule(cfg)
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(
+                learning_rate=sched,
+                b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=cfg.weight_decay,
+                mask=_no_decay_mask(params) if cfg.weight_decay else None,
+            ),
+        )
+        return tx, sched
+    import dataclasses
+
+    unit_cfg = dataclasses.replace(cfg, lr=1.0)
+    unit_sched = onecycle_schedule(unit_cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
-            learning_rate=sched,
+            learning_rate=unit_sched,
             b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=cfg.weight_decay,
             mask=_no_decay_mask(params) if cfg.weight_decay else None,
         ),
+        optax.inject_hyperparams(optax.scale)(step_size=float(cfg.lr)),
     )
+
+    def sched(step):
+        return cfg.lr * unit_sched(step)
+
     return tx, sched
+
+
+def set_injected_lr(opt_state, lr: float):
+    """Overwrite the runtime LR of an inject_lr=True optimizer state."""
+    import optax.tree_utils as otu
+
+    return otu.tree_set(opt_state, step_size=jnp.asarray(lr, jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -72,12 +72,15 @@ def test_tune_cli_successive_halving(tmp_path):
 
     from parseq_tpu.cli.tune import main as tune_main
 
-    # num_samples=1: each distinct LR bakes a new constant into the compiled
-    # train step (full recompile), which the 1-CPU runner can't afford; one
-    # trial still exercises the whole successive-halving path.
+    # Two trials are affordable on the 1-CPU runner because tune reuses one
+    # compiled train step across LRs (runtime-injected LR): the second trial
+    # must be a pure cache hit.
+    from parseq_tpu.train import loop as train_loop
+
+    train_loop._COMPILE_CACHE.clear()
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        tune_main(['--num_samples', '1', '--rung_steps', '2', '--rungs', '1',
+        tune_main(['--num_samples', '2', '--rung_steps', '2', '--rungs', '1',
                    '--work_dir', str(tmp_path / 'tune'),
                    'model.img_size=[16,32]', 'model.enc_depth=1', 'model.embed_dim=32',
                    'model.enc_num_heads=2', 'model.dec_num_heads=4',
@@ -88,6 +91,10 @@ def test_tune_cli_successive_halving(tmp_path):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert 'best_lr' in out and np.isfinite(out['best_lr'])
     assert (tmp_path / 'tune' / 'results.json').exists()
+    results = json.loads((tmp_path / 'tune' / 'results.json').read_text())
+    assert len(results) == 2 and results[0]['lr'] != results[1]['lr']
+    # both trials shared one compiled step bundle
+    assert len(train_loop._COMPILE_CACHE) == 1
 
 
 def test_metric_tracker_trend_stopper():

@@ -95,3 +95,42 @@ def test_onecycle_finite_at_tiny_total_steps():
         vals = np.asarray([float(sched(s)) for s in range(total + 1)])
         assert np.isfinite(vals).all(), (total, vals)
         assert (vals > 0).all()
+
+
+def test_injected_lr_matches_baked():
+    """inject_lr=True must produce bit-near-identical updates to the baked
+    schedule, and set_injected_lr must retarget a built optimizer state."""
+    import jax
+    import jax.numpy as jnp
+
+    from parseq_tpu.train import optim
+
+    params = {'w': jnp.ones((4, 4)), 'b': jnp.zeros((4,))}
+    grads = {'w': 0.1 * jnp.ones((4, 4)), 'b': 0.2 * jnp.ones((4,))}
+    for lr in (7e-4, 3e-3):
+        cfg = optim.OptimConfig(lr=lr, total_steps=100, weight_decay=0.01)
+        tx_b, sb = optim.make_optimizer(cfg, params)
+        tx_i, si = optim.make_optimizer(cfg, params, inject_lr=True)
+        st_b, st_i = tx_b.init(params), tx_i.init(params)
+        p_b, p_i = params, params
+        for _ in range(5):
+            ub, st_b = tx_b.update(grads, st_b, p_b)
+            ui, st_i = tx_i.update(grads, st_i, p_i)
+            p_b = jax.tree.map(lambda p, u: p + u, p_b, ub)
+            p_i = jax.tree.map(lambda p, u: p + u, p_i, ui)
+        d = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(p_b), jax.tree.leaves(p_i)))
+        assert d < 1e-7
+        assert abs(float(sb(3)) - float(si(3))) < 1e-9
+
+    # retargeting the LR in state == building the optimizer at that LR
+    cfg = optim.OptimConfig(lr=7e-4, total_steps=100)
+    tx_i, _ = optim.make_optimizer(cfg, params, inject_lr=True)
+    st = optim.set_injected_lr(tx_i.init(params), 3e-3)
+    tx_b2, _ = optim.make_optimizer(
+        optim.OptimConfig(lr=3e-3, total_steps=100), params)
+    ui, _ = tx_i.update(grads, st, params)
+    ub, _ = tx_b2.update(grads, tx_b2.init(params), params)
+    d = max(float(jnp.abs(a - b).max())
+            for a, b in zip(jax.tree.leaves(ui), jax.tree.leaves(ub)))
+    assert d < 1e-7
