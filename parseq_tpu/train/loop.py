@@ -116,11 +116,20 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             f'empty training loader: {len(dm.train_dataset)} samples with '
             f'batch_size={dm.batch_size} (drop_last) yields no batches')
     limit = tcfg.get('limit_train_batches', 1.0)
-    steps_per_epoch = max(1, int(len(train_loader) * limit))
-    total_steps = tcfg.get('max_steps') or steps_per_epoch * tcfg.get('max_epochs', 20)
+    steps_per_epoch = max(1, int(len(train_loader) * limit))  # loader batches
+    # Gradient accumulation (Lightning trainer.accumulate_grad_batches; the
+    # LR rule base.py:99-102 multiplies by it): one optimizer step per `agb`
+    # loader micro-batches, via optax.MultiSteps (gradient running mean —
+    # Lightning's loss/agb scaling equivalent). max_steps/val_check_interval
+    # count optimizer steps; the loop itself runs in micro-batch units.
+    agb = max(1, int(tcfg.get('accumulate_grad_batches', 1)))
+    opt_steps_per_epoch = max(1, steps_per_epoch // agb)
+    total_steps = tcfg.get('max_steps') or opt_steps_per_epoch * tcfg.get('max_epochs', 20)
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
     val_interval = tcfg.get('val_check_interval', 1000)
+    total_micro = total_steps * agb
+    val_every_micro = val_interval * agb
 
     n_devices = min(tcfg.get('devices', 1), len(jax.devices()))
     mesh = make_mesh(jax.devices()[:n_devices])
@@ -131,7 +140,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         lr=mcfg['lr'], weight_decay=mcfg.get('weight_decay', 0.0),
         warmup_pct=mcfg.get('warmup_pct', 0.075),
         batch_size=dm.batch_size, grad_clip=tcfg.get('gradient_clip_val', 20.0),
-        total_steps=total_steps, num_devices=n_devices,
+        total_steps=total_steps, num_devices=n_devices, accum=agb,
         swa=tcfg.get('swa', True),
     )
     # Optional pretrained weights (train.py:79-81): native ckpt or torch .pt.
@@ -163,6 +172,10 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     else:
         tx, sched = optim.make_optimizer(ocfg, tree0['params'],
                                          inject_lr=reuse_compiled)
+    if agb > 1 and not (cache_key in _COMPILE_CACHE):
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=agb)
     state = {'params': tree0['params'], 'stats': tree0['stats'],
              'opt_state': tx.init(tree0['params']), 'step': jnp.zeros((), jnp.int32)}
     if reuse_compiled:
@@ -181,7 +194,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         start_step = int(state['step'])
         log.info(f'resumed training state from {resume} at step {start_step}')
     state = replicate(state, mesh)
-    swa_start = int(ocfg.swa_epoch_start * total_steps) if ocfg.swa else total_steps
+    swa_start = int(ocfg.swa_epoch_start * total_micro) if ocfg.swa else total_micro
     swa_state = None
 
     # ABINet staged training: two compiled steps, switched on host by step
@@ -213,7 +226,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
                       out_shardings=repl)
         if cache_key is not None:
             _COMPILE_CACHE[cache_key] = (tx, jitted, fwd)
-    alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_steps
+    alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_micro
 
     perm_rng = np.random.default_rng(seed)  # identical stream on every host
     base_rng = replicate(jax.random.key(seed), mesh)
@@ -278,15 +291,15 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     skip_batches = start_step % steps_per_epoch
     log.info(f'training {name}: {total_steps} steps, {steps_per_epoch}/epoch, mesh={n_devices}dev')
     for epoch in range(start_epoch, 10 ** 9):
-        if step >= total_steps or stop_early:
+        if step >= total_micro or stop_early:
             break
         train_loader.set_epoch(epoch)
         for bi, (images, labels, valid) in enumerate(train_loader):
-            if step >= total_steps or bi >= steps_per_epoch:
+            if step >= total_micro or bi >= steps_per_epoch:
                 break
             if epoch == start_epoch and bi < skip_batches:
                 continue
-            pretraining = is_abinet and step < pretrain_frac * total_steps
+            pretraining = is_abinet and step < pretrain_frac * total_micro
             if is_abinet and not pretraining and not alignment_reset_done:
                 # Reset alignment params once at the phase switch (system.py:197-201)
                 log.info('ABINet pretraining ends: resetting alignment model')
@@ -310,12 +323,12 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             if (step % 50 == 0 or step == start_step + 1) and jlog:
                 m = jax.device_get(metrics)
                 jlog.log(step=step, epoch=epoch, loss=float(m['loss']),
-                         grad_norm=float(m['grad_norm']), lr=float(sched(step)),
+                         grad_norm=float(m['grad_norm']), lr=float(sched(step // agb)),
                          wall=round(time.time() - t_start, 1))
                 tb.add_scalars(step, {'loss': float(m['loss']),
                                       'grad_norm': float(m['grad_norm']),
-                                      'lr': float(sched(step))})
-            if step % val_interval == 0 or step == total_steps:
+                                      'lr': float(sched(step // agb))})
+            if step % val_every_micro == 0 or step == total_micro:
                 res, val_loss = validate(state)
                 if jlog:
                     jlog.log(step=step, val_accuracy=res.accuracy, val_NED=res.ned,

@@ -69,3 +69,54 @@ def test_train_smoke(data_root, tmp_path):
     imgs = np.zeros((2, 16, 32, 3), np.float32)
     labels, conf = model.read(imgs)
     assert len(labels) == 2
+
+
+def test_gradient_accumulation(tmp_path):
+    """trainer.accumulate_grad_batches=2: one optimizer step per 2 loader
+    micro-batches (optax.MultiSteps), max_steps in optimizer-step units,
+    params frozen within an accumulation window and updated at its end."""
+    import io
+
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    import jax
+    from parseq_tpu.train import loop as train_loop
+    from parseq_tpu.utils.config import compose, parse_cli_overrides
+    from .test_lmdb import make_str_db
+
+    def img_bytes(text):
+        im = Image.new('RGB', (48, 16), (255, 255, 255))
+        ImageDraw.Draw(im).text((1, 1), text, fill=(0, 0, 0))
+        b = io.BytesIO()
+        im.save(b, 'PNG')
+        return b.getvalue()
+
+    root = tmp_path / 'data'
+    words = ['ab', 'cd', 'ef', 'gh']
+    make_str_db(root / 'train' / 'real' / 's', [(img_bytes(w), w) for w in words * 8])
+    make_str_db(root / 'val' / 's', [(img_bytes(w), w) for w in words])
+
+    cfg = compose(None, overrides=parse_cli_overrides([
+        'model.img_size=[16,32]', 'model.enc_depth=1', 'model.embed_dim=32',
+        'model.enc_num_heads=2', 'model.dec_num_heads=4',
+        'model.max_label_length=5', 'model.batch_size=4',
+        'model.decode_ar=false', 'model.refine_iters=0',
+        f'data.root_dir={root}', 'data.num_workers=0', 'data.augment=false',
+        'trainer.devices=1', 'trainer.swa=false',
+        'trainer.accumulate_grad_batches=2', 'trainer.val_check_interval=1']))
+
+    state, _ = train_loop.train(cfg, tmp_path / 'run', max_steps=2)
+    # 2 optimizer steps * agb 2 = 4 micro-batches consumed
+    assert int(jax.device_get(state['step'])) == 4
+    # validation fired at optimizer-step boundaries: micro steps 2 and 4
+    import json
+    vals = [json.loads(l) for l in open(tmp_path / 'run' / 'metrics.jsonl')
+            if 'val_NED' in l]
+    assert [v['step'] for v in vals] == [2, 4]
+    # MultiSteps state present: inner optimizer stepped twice
+    opt_state = jax.device_get(state['opt_state'])
+    from optax import MultiStepsState
+    assert isinstance(opt_state, MultiStepsState)
+    assert int(opt_state.gradient_step) == 2
+    assert int(opt_state.mini_step) == 0  # window closed
