@@ -110,3 +110,41 @@ def test_art_converter(tmp_path):
     assert got == ['train_task2_images/gt_1.jpg\tSHOP',
                    'train_task2_images/gt_5.jpg\tLocaL#3',
                    'train_task2_images/gt_6.jpg\tpad']
+
+
+def test_abinet_lm_acc_tool(tmp_path):
+    """Offline smoke of the ABINet LM probe (reference tools/
+    test_abinet_lm_acc.py): tiny ABINet ckpt + tiny LMDB -> reported word
+    accuracy; one-hot GT feeding and length handling exercised end-to-end."""
+    import contextlib
+    import io as _io
+    import sys
+
+    import jax.numpy as jnp
+
+    from parseq_tpu.utils.checkpoint import save_checkpoint
+    from parseq_tpu.utils.registry import create_model
+
+    from .test_lmdb import _png_bytes, make_str_db
+
+    m = create_model('abinet', dtype=jnp.float32, charset_train='abcdef',
+                     charset_test='abcdef', img_size=[32, 64], max_label_length=7,
+                     nhead=4, d_inner=128, v_num_layers=1, l_num_layers=1,
+                     iter_size=1)
+    ckpt = tmp_path / 'abinet.ckpt'
+    save_checkpoint(ckpt, m.params, m.cfg,
+                    meta={'name': 'abinet', 'model_config': m.raw_config})
+    make_str_db(tmp_path / 'data' / 'test' / 'IIIT5k',
+                [(_png_bytes(), 'abc'), (_png_bytes(), 'fed'), (_png_bytes(), 'dead')])
+
+    sys.path.insert(0, 'tools')
+    try:
+        from test_abinet_lm_acc import main as lm_main
+    finally:
+        sys.path.pop(0)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lm_main([str(ckpt), '--data_root', str(tmp_path / 'data'),
+                 '--splits', 'test/IIIT5k', '--batch_size', '4'])
+    out = buf.getvalue()
+    assert 'LM word accuracy:' in out and '/3)' in out

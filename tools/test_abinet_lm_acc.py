@@ -26,7 +26,7 @@ from parseq_tpu.models import abinet  # noqa: E402
 from parseq_tpu.utils.registry import load_from_checkpoint  # noqa: E402
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('checkpoint')
     ap.add_argument('--data_root', default='data')
@@ -34,11 +34,15 @@ def main():
                     default=['test/IIIT5k', 'test/SVT', 'test/SVTP', 'test/IC13_1015',
                              'test/IC15_2077', 'test/CUTE80'])
     ap.add_argument('--batch_size', type=int, default=256)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     model = load_from_checkpoint(args.checkpoint)
     cfg: abinet.ABINetConfig = model.cfg
     tok = model.tokenizer
+    # ABINet bundles carry BatchNorm stats: {'params', 'stats'}; the LM is
+    # transformer-only, so only the param tree is needed.
+    tree = model.params
+    params = tree['params'] if isinstance(tree, dict) and 'stats' in tree else tree
 
     @jax.jit
     def lm_forward(params, inputs, lengths):
@@ -56,7 +60,7 @@ def main():
             targets = np.where(enc == cfg.pad_id, cfg.null_label, enc)
             onehot = jax.nn.one_hot(jnp.asarray(targets), cfg.num_classes)
             lengths = jnp.asarray([len(l) + 1 for l in batch], jnp.int32)
-            logits = lm_forward(model.params, onehot, lengths)
+            logits = lm_forward(params, onehot, lengths)
             probs = jax.nn.softmax(logits, -1)
             preds, _ = tok.decode(np.asarray(probs))
             for pred, gt in zip(preds, batch):
