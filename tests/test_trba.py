@@ -15,14 +15,31 @@ from parseq_tpu.utils.torch_convert import convert_trba
 from .torch_twin import TwinTRBA
 
 
-def test_grid_sample_matches_torch():
+@pytest.mark.parametrize('method', ['gather', 'onehot'])
+def test_grid_sample_matches_torch(method):
     rng = np.random.default_rng(0)
     imgs = rng.standard_normal((2, 3, 8, 12), dtype=np.float32)
     grid = (rng.random((2, 5, 7, 2), dtype=np.float32) * 2.4 - 1.2)  # incl. out-of-bounds
     want = F.grid_sample(torch.from_numpy(imgs), torch.from_numpy(grid),
                          padding_mode='border', align_corners=True).numpy()
-    got = grid_sample(jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(grid))
+    got = grid_sample(jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(grid),
+                      method=method)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_grid_sample_onehot_grads_match_gather():
+    """Both paths must agree on d/dimages and d/dgrid (TPS trains through this)."""
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.standard_normal((2, 6, 9, 3), dtype=np.float32))
+    grid = jnp.asarray(rng.random((2, 4, 5, 2), dtype=np.float32) * 1.8 - 0.9)
+
+    def loss(method):
+        return lambda im, g: jnp.sum(jnp.sin(grid_sample(im, g, method=method)))
+
+    gi_1, gg_1 = jax.grad(loss('gather'), argnums=(0, 1))(imgs, grid)
+    gi_2, gg_2 = jax.grad(loss('onehot'), argnums=(0, 1))(imgs, grid)
+    np.testing.assert_allclose(np.asarray(gi_1), np.asarray(gi_2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg_1), np.asarray(gg_2), atol=1e-4)
 
 
 @pytest.fixture(scope='module')
