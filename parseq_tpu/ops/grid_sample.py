@@ -46,9 +46,15 @@ def _unnormalize(grid, H, W):
     return jnp.clip(x, 0.0, W - 1), jnp.clip(y, 0.0, H - 1)
 
 
-def grid_sample(images, grid, method='onehot'):
+def grid_sample(images, grid, method='auto'):
     """images: (B, H, W, C) NHWC. grid: (B, Hg, Wg, 2) with (x, y) in [-1, 1].
-    Returns (B, Hg, Wg, C)."""
+    Returns (B, Hg, Wg, C).
+
+    method: 'onehot' | 'gather' | 'auto' (onehot for few-channel images where
+    the (B, Hg, Wg, H, C) intermediate stays small — the TPS C=3 case — and
+    gather for feature-map-like inputs with many channels)."""
+    if method == 'auto':
+        method = 'onehot' if images.shape[-1] <= 8 else 'gather'
     if method == 'onehot':
         return _grid_sample_onehot(images, grid)
     return _grid_sample_gather(images, grid)

@@ -229,7 +229,10 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_micro
 
     perm_rng = np.random.default_rng(seed)  # identical stream on every host
-    base_rng = replicate(jax.random.key(seed), mesh)
+    # unsafe_rbg: TPU hardware RNG for dropout bits — measured ~3 ms/step
+    # faster than threefry at PARSeq-S bs=384 (dropout only needs iid bits;
+    # the data-side stream is host numpy and unaffected).
+    base_rng = replicate(jax.random.key(seed, impl='unsafe_rbg'), mesh)
 
     def val_loss_from_logits(logits, labels, batch_size):
         if family.val == 'ctc':
