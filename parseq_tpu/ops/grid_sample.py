@@ -25,6 +25,7 @@ Two implementations:
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 
 
@@ -83,9 +84,13 @@ def _grid_sample_onehot(images, grid):
     # x-contraction as one batched matmul: (B, Hg*Wg, W) @ (B, W, H*C).
     # Contracting the wider axis first keeps the MXU contraction deep and
     # the (B, Hg*Wg, H, C) intermediate H/W-fold smaller than the y-first
-    # ordering (typ. W=128 vs H=32 for STR shapes).
+    # ordering (typ. W=128 vs H=32 for STR shapes). For f32 inputs force
+    # full-precision dots — the MXU's default bf16-truncated passes would
+    # silently cost ~4 digits vs the gather path's pure-elementwise math.
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     xmix = jnp.einsum('bnx,bxk->bnk', wx.reshape(B, Hg * Wg, W),
-                      images.transpose(0, 2, 1, 3).reshape(B, W, H * C))
+                      images.transpose(0, 2, 1, 3).reshape(B, W, H * C),
+                      precision=prec)
     xmix = xmix.reshape(B, Hg, Wg, H, C)
     # y-stage: multiply by the 2-nonzero y-row and reduce (fuses on the VPU)
     return jnp.sum(xmix * wy[..., None], axis=3)

@@ -76,6 +76,19 @@ def score_batch(tokenizer, charset_adapter, probs, labels, valid=None,
                          loss, loss_numel)
 
 
+@jax.jit
+def _device_post(logits):
+    """softmax/argmax/gather on device so the fetch is ids + picked probs
+    (module-level so the jit cache is shared across eval_dataset calls —
+    cli/test.py runs one call per benchmark set on identical shapes)."""
+    import jax.numpy as jnp
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    conf = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
+    return ids, conf
+
+
 def eval_dataset(model, loader, name='val', forward=None, depth=4) -> Result:
     """Run a ModelBundle over a loader; returns the aggregated Result.
 
@@ -88,17 +101,8 @@ def eval_dataset(model, loader, name='val', forward=None, depth=4) -> Result:
     """
     import collections
 
-    import jax.numpy as jnp
-
     fwd = forward or model
-
-    @jax.jit
-    def post(logits):
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        conf = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
-        return ids, conf
-
+    post = _device_post
     total = BatchResult()
     inflight = collections.deque()
 

@@ -54,7 +54,17 @@ def _as_tree(params):
 # trials): key -> (tx, jitted step dict, jitted fwd). Works because with
 # optim.make_optimizer(inject_lr=True) the LR lives in the optimizer state,
 # so the compiled computation is LR-independent (PERF.md "next levers" #3).
+# Bounded LRU: compiled executables pin device memory, and tune inserts one
+# entry per rung (total_steps is in the key) — keep the few most recent.
 _COMPILE_CACHE: dict = {}
+_COMPILE_CACHE_MAX = 4
+
+
+def _cache_put(key, value):
+    _COMPILE_CACHE.pop(key, None)
+    _COMPILE_CACHE[key] = value
+    while len(_COMPILE_CACHE) > _COMPILE_CACHE_MAX:
+        _COMPILE_CACHE.pop(next(iter(_COMPILE_CACHE)))
 
 
 def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
@@ -168,7 +178,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             tree0['params'])
     elif cache_key in _COMPILE_CACHE:
         tx = _COMPILE_CACHE[cache_key][0]
-        _, sched = optim.make_optimizer(ocfg, tree0['params'], inject_lr=True)
+        sched = optim.lr_schedule(ocfg)  # log-only; tx LR set via opt_state
     else:
         tx, sched = optim.make_optimizer(ocfg, tree0['params'],
                                          inject_lr=reuse_compiled)
@@ -225,7 +235,7 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         fwd = jax.jit(bundle.forward_fn, in_shardings=(repl, data_sh),
                       out_shardings=repl)
         if cache_key is not None:
-            _COMPILE_CACHE[cache_key] = (tx, jitted, fwd)
+            _cache_put(cache_key, (tx, jitted, fwd))
     alignment_reset_done = (not is_abinet) or start_step >= pretrain_frac * total_micro
 
     perm_rng = np.random.default_rng(seed)  # identical stream on every host

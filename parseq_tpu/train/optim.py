@@ -129,6 +129,13 @@ def make_abinet_optimizer(cfg: OptimConfig, l_lr: float, pretrain_end: int, para
     return tx, main_sched
 
 
+def lr_schedule(cfg: OptimConfig):
+    """The effective LR curve of make_optimizer (either mode) — for callers
+    that only need the schedule for logging (e.g. a compile-cache hit in
+    train.loop), without building the throwaway optax chain."""
+    return onecycle_schedule(cfg)
+
+
 def make_optimizer(cfg: OptimConfig, params, *, inject_lr=False):
     """AdamW + OneCycle. With inject_lr=True the base LR lives in the
     optimizer STATE (optax.inject_hyperparams) instead of being baked into
