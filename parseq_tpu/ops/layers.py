@@ -90,6 +90,10 @@ def mlp_init(key, dim, hidden_dim, *, out_dim=None, std=0.02):
 
 
 def linear(p, x):
+    if 'w_q' in p:  # int8 serving path (ops/quant.py) — same call sites
+        from parseq_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x)
     w = p['w'].astype(x.dtype)
     y = x @ w
     if 'b' in p:
