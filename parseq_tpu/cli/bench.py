@@ -36,8 +36,12 @@ def time_forward(fwd, params, batches, trials=7):
     return med, qs[2] - qs[0]
 
 
-def bench_model(name, batch_size=1, iters=8, trials=7, **kwargs):
+def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
     model = create_model(name, **kwargs)
+    if int8:
+        from parseq_tpu.ops.quant import quantize_bundle
+
+        model = quantize_bundle(model)
     fwd = jax.jit(model.forward_fn)
 
     h, w = model.img_size
@@ -72,6 +76,8 @@ def main(argv=None):
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--trials', type=int, default=7)
     ap.add_argument('--sweep', action='store_true', help='sweep label length 1..25 step 4')
+    ap.add_argument('--int8', action='store_true',
+                    help='int8 encoder serving path (ViT-backed models)')
     ap.add_argument('--profile', default=None, metavar='DIR',
                     help='capture a jax.profiler trace of the timed runs into DIR')
     args, unknown = ap.parse_known_args(argv)
@@ -93,12 +99,12 @@ def _run_bench(args, kwargs):
     if args.sweep:
         for L in range(1, 26, 4):
             r = bench_model(args.model, args.batch_size, args.iters, args.trials,
-                            max_label_length=L, **kwargs)
+                            int8=args.int8, max_label_length=L, **kwargs)
             r['max_label_length'] = L
             print(json.dumps(r))
     else:
         print(json.dumps(bench_model(args.model, args.batch_size, args.iters,
-                                     args.trials, **kwargs)))
+                                     args.trials, int8=args.int8, **kwargs)))
 
 
 if __name__ == '__main__':

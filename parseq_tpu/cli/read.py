@@ -24,11 +24,17 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('checkpoint', help="Native .ckpt, torch .pt, or 'pretrained=<experiment>'")
     ap.add_argument('--images', nargs='+', required=True, help='Image files to read')
+    ap.add_argument('--int8', action='store_true',
+                    help='int8 encoder serving path (ViT-backed models)')
     ap.add_argument('model_args', nargs='*', help='Model overrides key:type=value')
     args = ap.parse_args(argv)
 
     kwargs = parse_model_args(args.model_args)
     model = load_from_checkpoint(args.checkpoint, **kwargs)
+    if args.int8:
+        from parseq_tpu.ops.quant import quantize_bundle
+
+        model = quantize_bundle(model)
     print(f'Additional model arguments: {kwargs}')
 
     images = batch_images(args.images, model.img_size)

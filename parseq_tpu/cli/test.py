@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument('--punctuation', action='store_true')
     ap.add_argument('--new', action='store_true', help='Include new benchmark datasets')
     ap.add_argument('--rotation', type=int, default=0)
+    ap.add_argument('--int8', action='store_true',
+                    help='int8 encoder serving path (ViT-backed models)')
     args, unknown = ap.parse_known_args(argv)
     kwargs = parse_model_args(unknown)
 
@@ -40,6 +42,10 @@ def main(argv=None):
     print(f'Additional keyword arguments: {kwargs}')
 
     model = load_from_checkpoint(args.checkpoint, **kwargs)
+    if args.int8:
+        from parseq_tpu.ops.quant import quantize_bundle
+
+        model = quantize_bundle(model)
     dm = data_module.SceneTextDataModule(
         args.data_root, '_unused_', model.img_size,
         model.raw_config.get('max_label_length', 25),

@@ -85,6 +85,27 @@ def quantize_tree(params, paths):
     return params
 
 
+def quantize_bundle(bundle):
+    """Opt-in int8 serving: return a copy of a registry ModelBundle with its
+    ViT encoder matmuls quantized (parseq / vitstr — the families whose
+    params tree carries a vit.init 'encoder'). Other families raise."""
+    import dataclasses
+
+    p = bundle.params
+    wrapped = isinstance(p, dict) and 'params' in p and 'stats' in p
+    tree = p['params'] if wrapped else p
+    if not (isinstance(tree, dict) and isinstance(tree.get('encoder'), dict)
+            and 'blocks' in tree['encoder']):
+        raise ValueError(
+            f'int8 serving currently supports ViT-backed models '
+            f'(parseq/vitstr); {bundle.name!r} has no ViT encoder')
+    tree = dict(tree, encoder=quantize_vit_encoder(tree['encoder']))
+    new_params = dict(p, params=tree) if wrapped else tree
+    out = dataclasses.replace(bundle, params=new_params)
+    out._jitted = None
+    return out
+
+
 def quantize_vit_encoder(enc_params):
     """Quantize the per-block qkv/proj/fc1/fc2 matmuls of a vit.init tree.
 

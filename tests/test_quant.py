@@ -60,6 +60,33 @@ def test_quantized_encoder_matches_bf16_coarsely():
             assert leaf['w_q'].shape[0] == cfg.depth  # stacked for lax.scan
 
 
+def test_quantize_bundle_parseq_reads():
+    from parseq_tpu.utils.registry import create_model
+
+    m = create_model('parseq', dtype=jnp.float32, max_label_length=5,
+                     img_size=[16, 32], enc_depth=2, embed_dim=32,
+                     enc_num_heads=2, dec_num_heads=4)
+    qm = quant.quantize_bundle(m)
+    assert qm is not m and qm.params is not m.params
+    images = np.zeros((2, 16, 32, 3), np.float32)
+    labels, conf = qm.read(images)
+    assert len(labels) == 2
+    # decoder untouched, encoder matmuls int8
+    assert qm.params['decoder'] is m.params['decoder']
+    assert qm.params['encoder']['blocks']['attn']['q']['w_q'].dtype == jnp.int8
+
+
+def test_quantize_bundle_rejects_non_vit():
+    from parseq_tpu.utils.registry import create_model
+
+    m = create_model('crnn', dtype=jnp.float32, max_label_length=5, hidden_size=16)
+    try:
+        quant.quantize_bundle(m)
+        raise AssertionError('expected ValueError')
+    except ValueError as e:
+        assert 'ViT' in str(e)
+
+
 def test_quantize_tree_paths():
     params = {'a': {'lin': {'w': jnp.ones((4, 3)), 'b': jnp.zeros((3,))}},
               'keep': {'w': jnp.ones((2, 2))}}
