@@ -49,10 +49,23 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
     batches = [jax.random.uniform(k, (batch_size, h, w, 3), jnp.float32) for k in keys]
     _ = float(jnp.stack([b.sum() for b in batches]).sum())
 
-    lowered = fwd.lower(model.params, batches[0])
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    flops = cost.get('flops', float('nan'))
+    # Static FLOPs by jaxpr walk (fvcore-convention MACs, comparable with
+    # the reference README table). XLA's compiled cost_analysis undercounts
+    # lax.scan bodies (costed once, not x trip-count) — see utils/flops.py.
+    from parseq_tpu.utils.flops import count_flops
+
+    cost_fwd = model.forward_fn
+    if hasattr(model.cfg, 'decode_ar'):
+        # parseq family: count the exact-scan AR path — the fused pallas
+        # kernel is mathematically identical but opaque to tracing
+        from parseq_tpu.models import parseq as _pq
+
+        cost_fwd = (lambda cfg: lambda p, x: _pq.forward(
+            p, cfg, x, use_fused_ar=False))(model.cfg)
+    try:
+        flops = count_flops(cost_fwd, model.params, batches[0])
+    except Exception:  # noqa: BLE001 - flops are informational
+        flops = float('nan')
 
     _ = float(fwd(model.params, batches[-1]).sum())  # warmup/compile
     med, iqr = time_forward(fwd, model.params, batches[:iters], trials)
