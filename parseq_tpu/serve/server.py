@@ -1,0 +1,178 @@
+"""Batching inference server: TPU-native online serving for STR models.
+
+The reference repo has no serving stack (strhub is train/eval only); this
+is new TPU-first surface. Design constraints that shape it:
+
+- **Static shapes only.** XLA compiles one executable per input shape, so
+  arbitrary request batch sizes would each pay a 20-40 s compile. Requests
+  are coalesced into a fixed ladder of batch sizes (powers of two up to
+  ``max_batch``) and right-padded; every ladder rung is compiled once
+  (optionally ahead of time with ``warmup()``).
+- **One dispatcher thread owns the device.** Requests enqueue; the
+  dispatcher drains the queue, packs the largest rung that fits (or waits
+  up to ``max_wait_ms`` for more work), dispatches asynchronously, and
+  hands the in-flight future to a small drain pipeline so host decode of
+  batch N-1 overlaps device compute of batch N (same pipelining the eval
+  path uses, train/evaluate.py).
+- **Host work stays off the device path.** PIL decode + resize/normalize
+  run in the caller's thread (preprocess_jax is jitted and cached); the
+  dispatcher only stacks ready arrays.
+
+Usage:
+    bundle = load_from_checkpoint('model.ckpt')
+    srv = InferenceServer(bundle, max_batch=32)
+    srv.start()
+    text, conf = srv.submit(image_f32_nhwc).result()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _rungs(max_batch):
+    r, b = [], 1
+    while b < max_batch:
+        r.append(b)
+        b *= 2
+    r.append(max_batch)
+    return r
+
+
+@dataclass
+class _Request:
+    image: np.ndarray  # (H, W, 3) float32, already preprocessed
+    future: Future = field(default_factory=Future)
+
+
+class InferenceServer:
+    """Coalescing batch server over a registry ModelBundle."""
+
+    def __init__(self, bundle, *, max_batch=32, max_wait_ms=2.0, pipeline_depth=2):
+        self.bundle = bundle
+        self.rungs = _rungs(int(max_batch))
+        self.max_wait = float(max_wait_ms) / 1e3
+        self.depth = int(pipeline_depth)
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._dispatcher = None
+        self._drainer = None
+        self._inflight: queue.Queue = queue.Queue()
+        self._jitted = None
+        self.stats = {'batches': 0, 'requests': 0, 'padded': 0}
+
+    # -- public API ---------------------------------------------------------
+
+    def start(self):
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            name='serve-dispatch', daemon=True)
+        self._drainer = threading.Thread(target=self._drain_loop,
+                                         name='serve-drain', daemon=True)
+        self._dispatcher.start()
+        self._drainer.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        for t in (self._dispatcher, self._drainer):
+            if t is not None:
+                t.join(timeout=10)
+
+    def warmup(self, rungs=None):
+        """Compile every ladder rung ahead of serving (first-request latency).
+        Blocks until each rung's executable has actually run to completion —
+        async-dispatched warmups would otherwise drain underneath the first
+        real requests."""
+        h, w = self.bundle.img_size
+        for b in rungs or self.rungs:
+            ids, conf = self._forward(np.zeros((b, h, w, 3), np.float32))
+            np.asarray(conf)  # forced fetch (relay executes on fetch)
+
+    def submit(self, image: np.ndarray) -> Future:
+        """image: (H, W, 3) float32 normalized; returns Future[(str, float)]."""
+        req = _Request(np.asarray(image, np.float32))
+        self._q.put(req)
+        return req.future
+
+    def read_files(self, paths):
+        """Convenience: PIL decode + preprocess + submit; returns results."""
+        from parseq_tpu.data.transforms import batch_images
+
+        images = batch_images(paths, self.bundle.img_size)
+        futures = [self.submit(im) for im in np.asarray(images)]
+        return [f.result() for f in futures]
+
+    # -- internals ----------------------------------------------------------
+
+    def _forward(self, batch_np):
+        """One fused dispatch: forward + device-side softmax/argmax/gather.
+
+        The drain thread then only FETCHES (ids, conf) — ~100x smaller than
+        the logits tensor and, crucially, issues no second device dispatch
+        from another thread (the dispatcher thread owns all dispatches)."""
+        import jax
+
+        if self._jitted is None:
+            from parseq_tpu.train.evaluate import _device_post
+
+            fwd = self.bundle.forward_fn
+
+            def fused(params, images):
+                return _device_post(fwd(params, images))
+
+            self._jitted = jax.jit(fused)
+        return self._jitted(self.bundle.params, jax.numpy.asarray(batch_np))
+
+    def _dispatch_loop(self):
+        import time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            deadline = time.monotonic() + self.max_wait
+            # coalesce until the biggest rung is full or the wait budget ends
+            while len(reqs) < self.rungs[-1]:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 and len(reqs) >= 1:
+                    break
+                try:
+                    reqs.append(self._q.get(timeout=max(remaining, 0)))
+                except queue.Empty:
+                    break
+            rung = next(r for r in self.rungs if r >= len(reqs))
+            h, w = self.bundle.img_size
+            batch = np.zeros((rung, h, w, 3), np.float32)
+            for i, r in enumerate(reqs):
+                batch[i] = r.image
+            out = self._forward(batch)  # async dispatch (device ids+conf)
+            self.stats['batches'] += 1
+            self.stats['requests'] += len(reqs)
+            self.stats['padded'] += rung - len(reqs)
+            self._inflight.put((out, reqs))
+            while self._inflight.qsize() >= self.depth and not self._stop.is_set():
+                time.sleep(0.0005)
+
+    def _drain_loop(self):
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                out, reqs = self._inflight.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                ids, conf = out  # device (ids, picked-probs) from _forward
+                preds, tok_probs = self.bundle.tokenizer.decode_ids(
+                    np.asarray(ids)[: len(reqs)], np.asarray(conf)[: len(reqs)])
+                for r, text, p in zip(reqs, preds, tok_probs):
+                    r.future.set_result((text, float(np.prod(p))))
+            except Exception as e:  # noqa: BLE001 - fail the batch, keep serving
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
