@@ -33,12 +33,43 @@ def make_batches(seed, n, batch_size, img_size):
     return batches
 
 
+def wait_for_device(max_wait_s=1500, probe_timeout_s=90):
+    """The axon relay has transient multi-minute outages (device ops hang
+    while its HTTP side stays up). Probe with a tiny matmul in a bounded
+    subprocess and wait for recovery so a driver-run bench doesn't record a
+    dead-relay failure as the round's number."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready(); print('ok')")
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               capture_output=True, timeout=probe_timeout_s)
+            if r.returncode == 0 and b'ok' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        print(f'# device probe {attempt} failed; retrying...', flush=True)
+        time.sleep(30)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch_size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=32)
     ap.add_argument('--trials', type=int, default=3)
+    ap.add_argument('--no_wait', action='store_true')
     args = ap.parse_args()
+
+    if not args.no_wait:
+        wait_for_device()
 
     cfg = parseq.PARSeqConfig(num_tokens=97)  # test-default: AR + 1 refine iter
     params = parseq.init(jax.random.key(0), cfg)
