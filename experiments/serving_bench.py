@@ -28,11 +28,15 @@ def main():
     ap.add_argument('--seconds', type=float, default=10.0)
     ap.add_argument('--max_batch', type=int, default=64)
     ap.add_argument('--max_wait_ms', type=float, default=2.0)
+    ap.add_argument('--pipeline_depth', type=int, default=16,
+                    help='in-flight batches; the axon relay RTT (~0.1-0.5 s '
+                         'under load) must be hidden by depth x batch')
     args = ap.parse_args()
 
     bundle = create_model('parseq')
     srv = InferenceServer(bundle, max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms).start()
+                          max_wait_ms=args.max_wait_ms,
+                          pipeline_depth=args.pipeline_depth).start()
     print('warmup...', flush=True)
     srv.warmup()
 

@@ -53,15 +53,17 @@ class _Request:
 class InferenceServer:
     """Coalescing batch server over a registry ModelBundle."""
 
-    def __init__(self, bundle, *, max_batch=32, max_wait_ms=2.0, pipeline_depth=2):
+    def __init__(self, bundle, *, max_batch=32, max_wait_ms=2.0, pipeline_depth=4,
+                 drain_threads=4):
         self.bundle = bundle
         self.rungs = _rungs(int(max_batch))
         self.max_wait = float(max_wait_ms) / 1e3
         self.depth = int(pipeline_depth)
+        self.n_drainers = int(drain_threads)
         self._q: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._dispatcher = None
-        self._drainer = None
+        self._drainers = []
         self._inflight: queue.Queue = queue.Queue()
         self._jitted = None
         self.stats = {'batches': 0, 'requests': 0, 'padded': 0}
@@ -71,15 +73,21 @@ class InferenceServer:
     def start(self):
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name='serve-dispatch', daemon=True)
-        self._drainer = threading.Thread(target=self._drain_loop,
-                                         name='serve-drain', daemon=True)
+        # A pool of drain threads: each result fetch pays a device->host
+        # round trip (on the axon relay, a long one that also forces the
+        # execution), so serial draining caps batch rate at 1/RTT —
+        # overlapped fetches pipeline on the device side instead.
+        self._drainers = [threading.Thread(target=self._drain_loop,
+                                           name=f'serve-drain-{i}', daemon=True)
+                          for i in range(self.n_drainers)]
         self._dispatcher.start()
-        self._drainer.start()
+        for t in self._drainers:
+            t.start()
         return self
 
     def stop(self):
         self._stop.set()
-        for t in (self._dispatcher, self._drainer):
+        for t in [self._dispatcher, *self._drainers]:
             if t is not None:
                 t.join(timeout=10)
 
@@ -160,19 +168,44 @@ class InferenceServer:
             while self._inflight.qsize() >= self.depth and not self._stop.is_set():
                 time.sleep(0.0005)
 
-    def _drain_loop(self):
+    def _drain_loop(self, fetch_group=8):
+        """Resolve in-flight batches. Each host fetch costs a device->host
+        round trip (which on the axon relay also forces the execution), so
+        up to ``fetch_group`` same-shape batches are concatenated on device
+        and fetched together — one round trip resolves the whole group."""
+        import jax.numpy as jnp
+
         while not (self._stop.is_set() and self._inflight.empty()):
             try:
-                out, reqs = self._inflight.get(timeout=0.05)
+                group = [self._inflight.get(timeout=0.05)]
             except queue.Empty:
                 continue
+            shape = group[0][0][0].shape
+            while len(group) < fetch_group:
+                try:
+                    nxt = self._inflight.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt[0][0].shape != shape:
+                    self._inflight.put(nxt)  # different rung; next round
+                    break
+                group.append(nxt)
             try:
-                ids, conf = out  # device (ids, picked-probs) from _forward
-                preds, tok_probs = self.bundle.tokenizer.decode_ids(
-                    np.asarray(ids)[: len(reqs)], np.asarray(conf)[: len(reqs)])
-                for r, text, p in zip(reqs, preds, tok_probs):
-                    r.future.set_result((text, float(np.prod(p))))
-            except Exception as e:  # noqa: BLE001 - fail the batch, keep serving
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                if len(group) == 1:
+                    all_ids = np.asarray(group[0][0][0])
+                    all_conf = np.asarray(group[0][0][1])
+                else:
+                    all_ids = np.asarray(jnp.concatenate([g[0][0] for g in group]))
+                    all_conf = np.asarray(jnp.concatenate([g[0][1] for g in group]))
+                off = 0
+                for (_, reqs) in group:
+                    preds, tok_probs = self.bundle.tokenizer.decode_ids(
+                        all_ids[off: off + len(reqs)], all_conf[off: off + len(reqs)])
+                    for r, text, p in zip(reqs, preds, tok_probs):
+                        r.future.set_result((text, float(np.prod(p))))
+                    off += shape[0]
+            except Exception as e:  # noqa: BLE001 - fail the group, keep serving
+                for (_, reqs) in group:
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
