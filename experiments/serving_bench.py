@@ -1,17 +1,15 @@
 #!/usr/bin/env python
 """Online-serving benchmark: PARSeq-S behind the batching InferenceServer.
 
-Open-loop load: submit requests at a fixed offered rate from N client
-threads, measure end-to-end latency (submit -> decoded text) p50/p95/p99
+Open-loop load: one pacer thread submits requests at a fixed offered rate
+without waiting for results; measures end-to-end latency (submit -> decoded text) p50/p95/p99
 and sustained throughput. Exercises the full serving path: coalescing,
 padding ladder, async dispatch, pipelined host decode.
 """
 
 import argparse
 import os
-import statistics
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
@@ -72,6 +70,10 @@ def main():
 
     lat_ms = sorted(x * 1e3 for x in lat)
     n = len(lat_ms)
+    if n == 0:
+        print('no requests completed (rate/window too low?)')
+        srv.stop()
+        return
     print(f'offered {args.rate:.0f} req/s for {args.seconds:.0f}s -> '
           f'completed {n} ({n / wall:.0f} req/s)')
     print(f'latency ms: p50={lat_ms[n // 2]:.1f} '

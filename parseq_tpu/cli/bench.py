@@ -1,7 +1,7 @@
 """Model benchmarking CLI (reference bench.py equivalent).
 
-Reports parameter count, XLA-derived FLOPs (HLO cost analysis — the
-TPU-native counterpart of fvcore's static analysis), and on-device latency
+Reports parameter count, static per-image FLOPs (utils/flops.py jaxpr
+walk, fvcore MAC convention), and on-device latency
 (median + IQR over timed runs, pipelined with distinct inputs). `--sweep`
 sweeps max label length 1..25 step 4 like the reference's `+range=true`.
 
@@ -60,10 +60,10 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
         # kernel is mathematically identical but opaque to tracing
         from parseq_tpu.models import parseq as _pq
 
-        cost_fwd = (lambda cfg: lambda p, x: _pq.forward(
-            p, cfg, x, use_fused_ar=False))(model.cfg)
+        cfg = model.cfg
+        cost_fwd = lambda p, x: _pq.forward(p, cfg, x, use_fused_ar=False)  # noqa: E731
     try:
-        flops = count_flops(cost_fwd, model.params, batches[0])
+        flops = count_flops(cost_fwd, model.params, batches[0]) / batch_size
     except Exception:  # noqa: BLE001 - flops are informational
         flops = float('nan')
 
@@ -74,7 +74,7 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
     return {
         'model': model.name,
         'params_M': round(n_params / 1e6, 3),
-        'flops_G': round(flops / 1e9, 3) if flops == flops else None,
+        'flops_per_img_G': round(flops / 1e9, 3) if flops == flops else None,
         'batch_size': batch_size,
         'latency_ms_median': round(med * 1e3, 3),
         'latency_ms_iqr': round(iqr * 1e3, 3),

@@ -58,10 +58,16 @@ def make_handler(server, bundle):
                 n = int(self.headers.get('Content-Length', 0))
                 img = Image.open(io.BytesIO(self.rfile.read(n))).convert('RGB')
                 arr = np.asarray(preprocess_pil(img, bundle.img_size), np.float32)
+            except Exception as e:  # noqa: BLE001 - bad input -> client error
+                self._json(400, {'error': f'{type(e).__name__}: {e}'})
+                return
+            try:
                 text, conf = server.submit(arr).result(timeout=30)
                 self._json(200, {'text': text, 'confidence': conf})
-            except Exception as e:  # noqa: BLE001 - report to client
-                self._json(400, {'error': f'{type(e).__name__}: {e}'})
+            except TimeoutError:
+                self._json(504, {'error': 'inference timed out (server overloaded)'})
+            except Exception as e:  # noqa: BLE001 - server-side failure
+                self._json(500, {'error': f'{type(e).__name__}: {e}'})
 
     return Handler
 

@@ -65,7 +65,8 @@ class InferenceServer:
         self._dispatcher = None
         self._drainers = []
         self._inflight: queue.Queue = queue.Queue()
-        self._jitted = None
+        self._jitted = self._make_jitted()  # eager wrapper (compiles lazily):
+        # no lazy-init race between warmup() and the dispatcher thread
         self.stats = {'batches': 0, 'requests': 0, 'padded': 0}
 
     # -- public API ---------------------------------------------------------
@@ -95,7 +96,9 @@ class InferenceServer:
         """Compile every ladder rung ahead of serving (first-request latency).
         Blocks until each rung's executable has actually run to completion —
         async-dispatched warmups would otherwise drain underneath the first
-        real requests."""
+        real requests. Call BEFORE exposing the server to traffic (the CLI
+        does): warmup dispatches from the calling thread, which is only safe
+        while the dispatcher is idle."""
         h, w = self.bundle.img_size
         for b in rungs or self.rungs:
             ids, conf = self._forward(np.zeros((b, h, w, 3), np.float32))
@@ -104,6 +107,9 @@ class InferenceServer:
     def submit(self, image: np.ndarray) -> Future:
         """image: (H, W, 3) float32 normalized; returns Future[(str, float)]."""
         req = _Request(np.asarray(image, np.float32))
+        if self._stop.is_set():
+            req.future.set_exception(RuntimeError('InferenceServer stopped'))
+            return req.future
         self._q.put(req)
         return req.future
 
@@ -117,6 +123,18 @@ class InferenceServer:
 
     # -- internals ----------------------------------------------------------
 
+    def _make_jitted(self):
+        import jax
+
+        from parseq_tpu.train.evaluate import _device_post
+
+        fwd = self.bundle.forward_fn
+
+        def fused(params, images):
+            return _device_post(fwd(params, images))
+
+        return jax.jit(fused)
+
     def _forward(self, batch_np):
         """One fused dispatch: forward + device-side softmax/argmax/gather.
 
@@ -125,15 +143,6 @@ class InferenceServer:
         from another thread (the dispatcher thread owns all dispatches)."""
         import jax
 
-        if self._jitted is None:
-            from parseq_tpu.train.evaluate import _device_post
-
-            fwd = self.bundle.forward_fn
-
-            def fused(params, images):
-                return _device_post(fwd(params, images))
-
-            self._jitted = jax.jit(fused)
         return self._jitted(self.bundle.params, jax.numpy.asarray(batch_np))
 
     def _dispatch_loop(self):
@@ -155,18 +164,33 @@ class InferenceServer:
                     reqs.append(self._q.get(timeout=max(remaining, 0)))
                 except queue.Empty:
                     break
-            rung = next(r for r in self.rungs if r >= len(reqs))
-            h, w = self.bundle.img_size
-            batch = np.zeros((rung, h, w, 3), np.float32)
-            for i, r in enumerate(reqs):
-                batch[i] = r.image
-            out = self._forward(batch)  # async dispatch (device ids+conf)
+            try:
+                rung = next(r for r in self.rungs if r >= len(reqs))
+                h, w = self.bundle.img_size
+                batch = np.zeros((rung, h, w, 3), np.float32)
+                for i, r in enumerate(reqs):
+                    batch[i] = r.image  # raises on wrong-shape submissions
+                out = self._forward(batch)  # async dispatch (device ids+conf)
+            except Exception as e:  # noqa: BLE001 - fail THESE requests, keep serving
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
             self.stats['batches'] += 1
             self.stats['requests'] += len(reqs)
             self.stats['padded'] += rung - len(reqs)
             self._inflight.put((out, reqs))
             while self._inflight.qsize() >= self.depth and not self._stop.is_set():
                 time.sleep(0.0005)
+        # shutdown: fail anything still queued so no caller deadlocks on a
+        # Future that will never resolve
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError('InferenceServer stopped'))
 
     def _drain_loop(self, fetch_group=8):
         """Resolve in-flight batches. Each host fetch costs a device->host

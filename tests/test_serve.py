@@ -90,3 +90,25 @@ def test_http_cli_end_to_end(bundle, tmp_path):
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_stop_fails_pending_and_rejects_new(bundle):
+    srv = InferenceServer(bundle, max_batch=4, max_wait_ms=1.0).start()
+    srv.stop()
+    f = srv.submit(np.zeros((16, 32, 3), np.float32))
+    with pytest.raises(RuntimeError, match='stopped'):
+        f.result(timeout=10)
+
+
+def test_wrong_shape_submission_fails_only_that_request(bundle):
+    srv = InferenceServer(bundle, max_batch=4, max_wait_ms=1.0).start()
+    try:
+        bad = srv.submit(np.zeros((99, 99, 3), np.float32))
+        with pytest.raises(Exception):
+            bad.result(timeout=60)
+        # server still serves well-formed requests afterwards
+        good = srv.submit(np.zeros((16, 32, 3), np.float32))
+        text, conf = good.result(timeout=60)
+        assert isinstance(text, str)
+    finally:
+        srv.stop()
