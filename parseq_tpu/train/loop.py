@@ -206,6 +206,15 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     state = replicate(state, mesh)
     swa_start = int(ocfg.swa_epoch_start * total_micro) if ocfg.swa else total_micro
     swa_state = None
+    if resume:
+        swa_path = Path(resume).parent / 'swa_state.ckpt'
+        if swa_path.exists():
+            from flax import serialization
+
+            template = optim.swa_init(jax.device_get(state)['params'])
+            with open(swa_path, 'rb') as f:
+                swa_state = replicate(serialization.from_bytes(template, f.read()), mesh)
+            log.info(f'resumed SWA average ({int(jax.device_get(swa_state["n"]))} snapshots)')
 
     # ABINet staged training: two compiled steps, switched on host by step
     # count (abinet/system.py:106-110, 187-203).
@@ -363,6 +372,12 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
 
                     with open(work_dir / 'checkpoints' / 'train_state.ckpt', 'wb') as f:
                         f.write(serialization.to_bytes(jax.device_get(state)))
+                    if swa_state is not None:
+                        # Sidecar so a resume mid-SWA-window keeps the
+                        # accumulated average (Lightning's SWA callback
+                        # persists its state in checkpoints likewise).
+                        with open(work_dir / 'checkpoints' / 'swa_state.ckpt', 'wb') as f:
+                            f.write(serialization.to_bytes(jax.device_get(swa_state)))
                 n_validations += 1
                 if val_callback is not None and val_callback({
                         'step': step, 'training_iteration': n_validations,

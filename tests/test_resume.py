@@ -111,3 +111,34 @@ def test_swa_reestimates_batchnorm_stats(data_root, tmp_path):  # noqa: F811
     model = load_from_checkpoint(str(swa_path), dtype=jnp.float32)
     labels, _ = model.read(np.zeros((2, 32, 64, 3), np.float32))
     assert len(labels) == 2
+
+
+def test_resume_preserves_swa_average(data_root, tmp_path):  # noqa: F811
+    """swa_state survives resume via the sidecar file: the restored average
+    includes pre-resume snapshots (Lightning SWA callback persistence)."""
+    from flax import serialization
+
+    from parseq_tpu.train import optim
+    from parseq_tpu.train.loop import train
+    from parseq_tpu.utils.registry import create_model
+
+    cfg = _config(data_root)
+    cfg['trainer']['swa'] = True
+    cfg['trainer']['swa_epoch_start'] = 0.0  # average from the first step
+    state1, _ = train(cfg, tmp_path / 'run1', compute_dtype=jnp.float32, max_steps=2)
+    swa_path = tmp_path / 'run1' / 'checkpoints' / 'swa_state.ckpt'
+    assert swa_path.exists()
+
+    m = create_model('parseq', **{k: v for k, v in cfg['model'].items() if k != 'name'})
+    template = optim.swa_init(m.params)
+    swa1 = serialization.from_bytes(template, swa_path.read_bytes())
+    n1 = int(np.asarray(swa1['n']))
+    assert n1 >= 1
+
+    cfg2 = _config(data_root, ckpt_path=str(tmp_path / 'run1' / 'checkpoints' / 'train_state.ckpt'))
+    cfg2['trainer']['swa'] = True
+    cfg2['trainer']['swa_epoch_start'] = 0.0
+    train(cfg2, tmp_path / 'run2', compute_dtype=jnp.float32, max_steps=4)
+    swa2 = serialization.from_bytes(template,
+                                    (tmp_path / 'run2' / 'checkpoints' / 'swa_state.ckpt').read_bytes())
+    assert int(np.asarray(swa2['n'])) > n1  # continued, not restarted
