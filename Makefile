@@ -14,5 +14,8 @@ bench-models:  ## Per-model latency/FLOPs/params
 train:  ## Train PARSeq with defaults (expects data/ in reference layout)
 	python -m parseq_tpu.cli.train +experiment=parseq
 
+serve:  ## Online serving (set CKPT=path/to/model.ckpt)
+	python -m parseq_tpu.cli.serve $(CKPT) --port 8500
+
 help:  ## Display this help
 	@grep -E '^[a-zA-Z_-]+:.*?## .*$$' $(MAKEFILE_LIST) | awk 'BEGIN {FS = ":.*?## "}; {printf "\033[36m%-30s\033[0m %s\n", $$1, $$2}'
