@@ -201,6 +201,8 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     # bandwidth savings all measured slower.
     use_kernel = USE_KERNEL if use_kernel is None else use_kernel
     if not use_kernel or jax.default_backend() == 'cpu':
+        if USE_FLASH_BWD and jax.default_backend() == 'tpu':
+            return _mha_flashbwd(p, x, num_heads)
         return layers.mha(p, x, x, x, num_heads=num_heads)
     D = x.shape[-1]
     dh = D // num_heads
@@ -208,4 +210,36 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     k = layers.linear(p['k'], x)
     v = layers.linear(p['v'], x)
     o = fused_attention_nosplit(q, k, v, num_heads, 1.0 / math.sqrt(dh))
+    return layers.linear(p['out'], o)
+
+
+# Backward-only pallas kernel (ops/flash_bwd.py): forward stays the XLA
+# einsum path above; the VJP would avoid XLA's materialized (B, h, L, L)
+# f32 softmax-gradient chain (~12 ms of the bs=384 encoder grad).
+# STATUS: measured and REJECTED on v5e-1 — encoder grad 111.6 ms vs
+# 100.5 ms XLA (288 small grid programs + the pallas optimization barrier
+# lose more than the materialization saves), and the on-chip lowering of
+# the transposed dot_generals additionally produced wrong gradients
+# (interpret mode is exact to 4e-7 — a Mosaic contraction-layout issue).
+# Kept for future block-level work; default off.
+USE_FLASH_BWD = False
+
+
+def _mha_flashbwd(p, x, num_heads):
+    from parseq_tpu.ops import layers
+    from parseq_tpu.ops.flash_bwd import attention_flashbwd
+
+    B, L, D = x.shape
+    dh = D // num_heads
+    if L % 8 or dh % 8:
+        return layers.mha(p, x, x, x, num_heads=num_heads)
+
+    def split(t):
+        return t.reshape(B, L, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q = split(layers.linear(p['q'], x))
+    k = split(layers.linear(p['k'], x))
+    v = split(layers.linear(p['v'], x))
+    o = attention_flashbwd(q, k, v, 1.0 / math.sqrt(dh))
+    o = o.transpose(0, 2, 1, 3).reshape(B, L, D)
     return layers.linear(p['out'], o)
