@@ -120,3 +120,42 @@ def test_gradient_accumulation(tmp_path):
     assert isinstance(opt_state, MultiStepsState)
     assert int(opt_state.gradient_step) == 2
     assert int(opt_state.mini_step) == 0  # window closed
+
+
+def test_sharding_invariance_across_mesh_sizes(data_root, tmp_path):
+    """The SPMD step is mesh-size invariant: identical data + seed trained on
+    1, 2, and 4 virtual devices yield the same loss sequence (the gradient
+    psum over the 'data' axis must reproduce single-device math). This is
+    the single-host stand-in for multi-chip DP correctness (SURVEY §2.5)."""
+    from parseq_tpu.train.loop import train
+
+    def cfg(n_dev):
+        return {
+            'model': {
+                'name': 'parseq', 'img_size': [16, 32], 'patch_size': [4, 8],
+                'max_label_length': 7,
+                'charset_train': 'abcdefghijklmnopqrstuvwxyz',
+                'charset_test': 'abcdefghijklmnopqrstuvwxyz',
+                'batch_size': 8, 'lr': 3e-4, 'weight_decay': 0.01, 'warmup_pct': 0.2,
+                'embed_dim': 32, 'enc_num_heads': 2, 'enc_mlp_ratio': 2, 'enc_depth': 1,
+                'dec_num_heads': 4, 'dec_mlp_ratio': 2, 'dec_depth': 1,
+                'perm_num': 6, 'perm_forward': True, 'perm_mirrored': True,
+                'dropout': 0.0, 'decode_ar': False, 'refine_iters': 0,
+            },
+            'data': {'root_dir': str(data_root), 'train_dir': 'real', 'num_workers': 0,
+                     'augment': False, 'batch_size': 8},
+            'trainer': {'max_epochs': 1, 'val_check_interval': 100,
+                        'gradient_clip_val': 20, 'devices': n_dev, 'swa': False},
+        }
+
+    import jax.numpy as jnp
+
+    losses = {}
+    for n_dev in (1, 2, 4):
+        train(cfg(n_dev), tmp_path / f'run{n_dev}', compute_dtype=jnp.float32,
+              max_steps=4)
+        metrics = [json.loads(l) for l in open(tmp_path / f'run{n_dev}' / 'metrics.jsonl')]
+        losses[n_dev] = [m['loss'] for m in metrics if 'loss' in m]
+    assert losses[1] and len(losses[1]) == len(losses[2]) == len(losses[4])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-5)
+    np.testing.assert_allclose(losses[1], losses[4], rtol=2e-5)
