@@ -182,16 +182,20 @@ def main(argv=None):
 
     # Grace period = warmup validations (reference tune.py:154: warmup_pct of
     # total validations); trend stopper caps at 75% of total (tune.py:153).
+    # Stoppers are rebuilt per rung from THAT rung's validation budget —
+    # sizing them off the final rung would leave rung-0 trials entirely
+    # inside the grace period (inert median rule) and compare trials across
+    # rungs at mismatched horizons.
     warmup_pct = config['model'].get('warmup_pct', 0.075)
-    max_val_iters = max(1, (args.rung_steps * 2 ** (args.rungs - 1)) // val_interval)
-    median_rule = MedianStoppingRule(
-        grace_period=max(1, round(warmup_pct * max_val_iters)))
-    tracker = MetricTracker('NED', max_t=max(2, round(0.75 * max_val_iters)),
-                            patience=args.patience)
     candidates = lr_grid(args.lr_min, args.lr_max, args.num_samples)
     steps = args.rung_steps
     results = []
     for rung in range(args.rungs):
+        rung_val_iters = max(1, steps // val_interval)
+        median_rule = MedianStoppingRule(
+            grace_period=max(1, round(warmup_pct * rung_val_iters)))
+        tracker = MetricTracker('NED', max_t=max(2, round(0.75 * rung_val_iters)),
+                                patience=args.patience)
         scored = []
         for i, lr in enumerate(candidates):
             tdir = root / f'rung{rung}_trial{i}_lr{lr:.2e}'

@@ -138,8 +138,12 @@ def dropout(x, rate, rng=None):
     """
     if rng is None or rate == 0.0:
         return x
+    if rate >= 1.0:
+        # everything dropped; the threshold compare below would wrap
+        # (round(1.0*65536) = 65536 -> 0 in uint16) and keep everything at 1/0.
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
-    thr = int(round(rate * 65536.0))
+    thr = min(int(round(rate * 65536.0)), 65535)
     bits = jax.random.bits(rng, x.shape, jnp.uint16)
     return jnp.where(bits >= thr, x / keep, 0).astype(x.dtype)
 

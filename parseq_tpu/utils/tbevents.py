@@ -134,8 +134,16 @@ class TBEventWriter:
         self.add_scalars(step, {tag: value})
 
     def add_scalars(self, step: int, scalars: dict[str, float]):
-        vals = {k: float(v) for k, v in scalars.items()
-                if isinstance(v, (int, float)) and v == v}  # drop NaN/non-numeric
+        # float(v) handles numpy/device scalars too (np.float32 is not a
+        # builtin-float subclass); non-numerics and NaN are dropped.
+        vals = {}
+        for k, v in scalars.items():
+            try:
+                f = float(v)
+            except (TypeError, ValueError):
+                continue
+            if f == f:  # drop NaN
+                vals[k] = f
         if vals:
             self._write(encode_event(time.time(), step=int(step), scalars=vals))
 

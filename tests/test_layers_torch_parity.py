@@ -104,3 +104,20 @@ def test_linear_matches_torch():
     p = {'w': jnp.asarray(t2n(lin.weight).T), 'b': jnp.asarray(t2n(lin.bias))}
     got = np.asarray(layers.linear(p, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dropout_rate_one_returns_zeros():
+    """rate>=1.0 must drop everything (ADVICE r2: uint16 threshold wrapped)."""
+    import jax
+    x = jnp.ones((64,), jnp.float32)
+    out = np.asarray(layers.dropout(x, 1.0, jax.random.key(0)))
+    assert np.all(out == 0.0) and np.all(np.isfinite(out))
+
+
+def test_dropout_high_rate_no_wraparound():
+    import jax
+    x = jnp.ones((4096,), jnp.float32)
+    out = np.asarray(layers.dropout(x, 0.9999, jax.random.key(0)))
+    assert np.all(np.isfinite(out))
+    # keep probability ~1e-4: nearly everything should be dropped
+    assert (out != 0).mean() < 0.01

@@ -132,3 +132,12 @@ def test_train_loop_writes_tfevents(tmp_path):
     events = read_events(files[0])
     tags = {t for _, s in events for t in s}
     assert {'val_accuracy', 'val_NED', 'val_loss', 'hp_metric'} <= tags
+
+
+def test_numpy_scalars_accepted(tmp_path):
+    """np.float32 is not a builtin-float subclass; must not be dropped (ADVICE r2)."""
+    w = TBEventWriter(tmp_path)
+    w.add_scalars(1, {'a': np.float32(2.5), 'b': np.int64(3), 'bad': np.float32('nan')})
+    w.close()
+    events = read_events(w.path)
+    assert events == [(1, {'a': 2.5, 'b': 3.0})]
