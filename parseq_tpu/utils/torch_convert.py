@@ -186,18 +186,23 @@ def _res_layer(sd, prefix, n):
     return ps, ss
 
 
+def convert_tps_loc(sd, prefix='Transformation.'):
+    """Reference TPS LocalizationNetwork (trba/transformation.py:42-83) ->
+    (loc params, loc stats). Sequential indices 0,1 / 4,5 / 8,9 / 12,13."""
+    loc, loc_s = {}, {}
+    for i, si in enumerate([0, 4, 8, 12]):
+        pfx = f'{prefix}LocalizationNetwork.conv.{si}'
+        bfx = f'{prefix}LocalizationNetwork.conv.{si + 1}'
+        loc[f'conv{i}'], loc_s[f'conv{i}'] = _conv_bn(sd, pfx, bfx)
+    loc['fc1'] = _lin(sd, f'{prefix}LocalizationNetwork.localization_fc1.0')
+    loc['fc2'] = _lin(sd, f'{prefix}LocalizationNetwork.localization_fc2')
+    return loc, loc_s
+
+
 def convert_trba(sd, use_ctc=False):
     """Reference TRBA/TRBC state_dict -> (params, stats) for models/trba.py."""
     params, stats = {}, {}
-    # TPS localization net: Sequential indices 0,1 / 4,5 / 8,9 / 12,13
-    loc, loc_s = {}, {}
-    for i, si in enumerate([0, 4, 8, 12]):
-        pfx = f'Transformation.LocalizationNetwork.conv.{si}'
-        bfx = f'Transformation.LocalizationNetwork.conv.{si + 1}'
-        loc[f'conv{i}'], loc_s[f'conv{i}'] = _conv_bn(sd, pfx, bfx)
-    loc['fc1'] = _lin(sd, 'Transformation.LocalizationNetwork.localization_fc1.0')
-    loc['fc2'] = _lin(sd, 'Transformation.LocalizationNetwork.localization_fc2')
-    params['loc'], stats['loc'] = loc, loc_s
+    params['loc'], stats['loc'] = convert_tps_loc(sd)
 
     rn, rn_s = {}, {}
     cn = 'FeatureExtraction.ConvNet'
@@ -214,21 +219,26 @@ def convert_trba(sd, use_ctc=False):
     if use_ctc or 'Prediction.weight' in sd:
         params['pred'] = _lin(sd, 'Prediction')
     else:
-        ac = 'Prediction.attention_cell'
-        params['pred'] = {
-            'i2h': _lin(sd, f'{ac}.i2h'),
-            'h2h': _lin(sd, f'{ac}.h2h'),
-            'score': _lin(sd, f'{ac}.score'),
-            'cell': {
-                'wih': jnp.asarray(_np(sd[f'{ac}.rnn.weight_ih']).T),
-                'whh': jnp.asarray(_np(sd[f'{ac}.rnn.weight_hh']).T),
-                'bih': jnp.asarray(_np(sd[f'{ac}.rnn.bias_ih'])),
-                'bhh': jnp.asarray(_np(sd[f'{ac}.rnn.bias_hh'])),
-            },
-            'generator': _lin(sd, 'Prediction.generator'),
-            'char_embeddings': {'w': jnp.asarray(_np(sd['Prediction.char_embeddings.weight']))},
-        }
+        params['pred'] = convert_trba_attention(sd)
     return params, stats
+
+
+def convert_trba_attention(sd, prefix='Prediction.'):
+    """Reference TRBA attention decoder (trba/prediction.py:6-73) -> pred params."""
+    ac = f'{prefix}attention_cell'
+    return {
+        'i2h': _lin(sd, f'{ac}.i2h'),
+        'h2h': _lin(sd, f'{ac}.h2h'),
+        'score': _lin(sd, f'{ac}.score'),
+        'cell': {
+            'wih': jnp.asarray(_np(sd[f'{ac}.rnn.weight_ih']).T),
+            'whh': jnp.asarray(_np(sd[f'{ac}.rnn.weight_hh']).T),
+            'bih': jnp.asarray(_np(sd[f'{ac}.rnn.bias_ih'])),
+            'bhh': jnp.asarray(_np(sd[f'{ac}.rnn.bias_hh'])),
+        },
+        'generator': _lin(sd, f'{prefix}generator'),
+        'char_embeddings': {'w': jnp.asarray(_np(sd[f'{prefix}char_embeddings.weight']))},
+    }
 
 
 def _abinet_r45(sd, prefix):
@@ -252,6 +262,51 @@ def _enc_layer_conv(sd, prefix):
     }
 
 
+def convert_abinet_pos_attention(sd, prefix='vision.attention.'):
+    """Reference PositionAttention (abinet/attention.py:50-100) -> (params, stats)."""
+    enc, enc_s, dec, dec_s = [], [], [], []
+    for i in range(4):
+        c = {'conv': _conv2d(sd, f'{prefix}k_encoder.{i}.0')}
+        c['bn'], st = _bn(sd, f'{prefix}k_encoder.{i}.1')
+        enc.append(c)
+        enc_s.append(st)
+        c = {'conv': _conv2d(sd, f'{prefix}k_decoder.{i}.1')}
+        c['bn'], st = _bn(sd, f'{prefix}k_decoder.{i}.2')
+        dec.append(c)
+        dec_s.append(st)
+    params = {'k_encoder': enc, 'k_decoder': dec,
+              'project': _lin(sd, f'{prefix}project')}
+    stats = {'k_encoder': enc_s, 'k_decoder': dec_s}
+    return params, stats
+
+
+def convert_abinet_language(sd, prefix='language.'):
+    """Reference BCNLanguage (abinet/model_language.py:7-49) -> language params."""
+    n_l = 1 + max(int(k.removeprefix(f'{prefix}model.layers.').split('.')[0])
+                  for k in sd if k.startswith(f'{prefix}model.layers.'))
+    lls = []
+    for i in range(n_l):
+        pfx = f'{prefix}model.layers.{i}'
+        lp = {
+            'multihead_attn': _mha(sd, f'{pfx}.multihead_attn'),
+            'linear1': _lin(sd, f'{pfx}.linear1'),
+            'linear2': _lin(sd, f'{pfx}.linear2'),
+            'norm2': _ln(sd, f'{pfx}.norm2'),
+            'norm3': _ln(sd, f'{pfx}.norm3'),
+        }
+        if f'{pfx}.self_attn.in_proj_weight' in sd:
+            lp['self_attn'] = _mha(sd, f'{pfx}.self_attn')
+            lp['norm1'] = _ln(sd, f'{pfx}.norm1')
+        lls.append(lp)
+    return {'proj': _lin(sd, f'{prefix}proj'),
+            'layers': lls, 'cls': _lin(sd, f'{prefix}cls')}
+
+
+def convert_abinet_alignment(sd, prefix='alignment.'):
+    """Reference BaseAlignment (abinet/model_alignment.py:7-28) -> params."""
+    return {'w_att': _lin(sd, f'{prefix}w_att'), 'cls': _lin(sd, f'{prefix}cls')}
+
+
 def convert_abinet(sd):
     """Reference ABINet state_dict -> (params, stats) for models/abinet.py."""
     params, stats = {}, {}
@@ -264,19 +319,7 @@ def convert_abinet(sd):
         vp['transformer'] = [_enc_layer_conv(sd, f'vision.backbone.transformer.layers.{i}')
                              for i in range(n_tf)]
     if 'vision.attention.project.weight' in sd:  # PositionAttention
-        enc, enc_s, dec, dec_s = [], [], [], []
-        for i in range(4):
-            c = {'conv': _conv2d(sd, f'vision.attention.k_encoder.{i}.0')}
-            c['bn'], st = _bn(sd, f'vision.attention.k_encoder.{i}.1')
-            enc.append(c)
-            enc_s.append(st)
-            c = {'conv': _conv2d(sd, f'vision.attention.k_decoder.{i}.1')}
-            c['bn'], st = _bn(sd, f'vision.attention.k_decoder.{i}.2')
-            dec.append(c)
-            dec_s.append(st)
-        vp['attention'] = {'k_encoder': enc, 'k_decoder': dec,
-                           'project': _lin(sd, 'vision.attention.project')}
-        vs['attention'] = {'k_encoder': enc_s, 'k_decoder': dec_s}
+        vp['attention'], vs['attention'] = convert_abinet_pos_attention(sd)
     else:  # sv Attention variant
         vp['attention'] = {
             'f0_embedding': {'w': jnp.asarray(_np(sd['vision.attention.f0_embedding.weight']))},
@@ -287,26 +330,8 @@ def convert_abinet(sd):
     vp['cls'] = _lin(sd, 'vision.cls')
     params['vision'], stats['vision'] = vp, vs
 
-    # language
-    n_l = 1 + max(int(k.split('.')[3]) for k in sd if k.startswith('language.model.layers.'))
-    lls = []
-    for i in range(n_l):
-        pfx = f'language.model.layers.{i}'
-        lp = {
-            'multihead_attn': _mha(sd, f'{pfx}.multihead_attn'),
-            'linear1': _lin(sd, f'{pfx}.linear1'),
-            'linear2': _lin(sd, f'{pfx}.linear2'),
-            'norm2': _ln(sd, f'{pfx}.norm2'),
-            'norm3': _ln(sd, f'{pfx}.norm3'),
-        }
-        if f'{pfx}.self_attn.in_proj_weight' in sd:
-            lp['self_attn'] = _mha(sd, f'{pfx}.self_attn')
-            lp['norm1'] = _ln(sd, f'{pfx}.norm1')
-        lls.append(lp)
-    params['language'] = {'proj': _lin(sd, 'language.proj'),
-                          'layers': lls, 'cls': _lin(sd, 'language.cls')}
-    params['alignment'] = {'w_att': _lin(sd, 'alignment.w_att'),
-                           'cls': _lin(sd, 'alignment.cls')}
+    params['language'] = convert_abinet_language(sd)
+    params['alignment'] = convert_abinet_alignment(sd)
     return params, stats
 
 

@@ -1,0 +1,389 @@
+"""Direct parity against the reference's OWN code (not builder-written twins).
+
+Every test here sys.path-imports modules from /root/reference and compares
+them against parseq_tpu with *converted reference weights* — closing the
+twin-shared-misreading risk flagged in VERDICT r2 ("What's missing" #2).
+
+Importable with the installed CPU torch (verified):
+  strhub.data.utils              Tokenizer / CTCTokenizer / CharsetAdapter
+  strhub.models.crnn.model       CRNN (full model)
+  strhub.models.modules          BidirectionalLSTM
+  strhub.models.abinet.*         vendored transformer, PositionAttention,
+                                 BCNLanguage, BaseAlignment
+  strhub.models.trba.*           TPS_SpatialTransformerNetwork (F.grid_sample
+                                 path), attention LSTM decoder
+  nltk.edit_distance             the reference NED metric (base.py:138)
+
+NOT importable (documented, stays twin-based in the other test files):
+  strhub.models.parseq/* and vitstr (need timm), trba.model + abinet vision
+  backbone (need torchvision), strhub.models.base (needs pytorch_lightning).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, '/root/reference')
+
+from strhub.data.utils import (  # noqa: E402
+    CharsetAdapter as RefCharsetAdapter,
+    CTCTokenizer as RefCTCTokenizer,
+    Tokenizer as RefTokenizer,
+)
+
+from parseq_tpu.data.charset import CHARSET_36, CHARSET_62, CHARSET_94, CharsetAdapter  # noqa: E402
+from parseq_tpu.data.tokenizer import CTCTokenizer, Tokenizer  # noqa: E402
+from parseq_tpu.utils import torch_convert as tc  # noqa: E402
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    torch.manual_seed(0)
+    np.random.seed(0)
+
+
+def _random_labels(rng, charset, n, extra_chars='', max_len=25, allow_empty=True):
+    pool = charset + extra_chars
+    out = []
+    for _ in range(n):
+        lo = 0 if allow_empty else 1
+        k = int(rng.integers(lo, max_len + 1))
+        out.append(''.join(rng.choice(list(pool), size=k)) if k else '')
+    return out
+
+
+# --------------------------------------------------------------- charsets ---
+
+
+@pytest.mark.parametrize('charset', [CHARSET_36, CHARSET_62, CHARSET_94, 'abc123', 'ABC#'])
+def test_charset_adapter_matches_reference(charset):
+    ref = RefCharsetAdapter(charset)
+    ours = CharsetAdapter(charset)
+    rng = np.random.default_rng(1)
+    labels = _random_labels(rng, CHARSET_94, 200, extra_chars='ÄßéΩ中 \t')
+    for label in labels:
+        assert ours(label) == ref(label)
+
+
+# ------------------------------------------------------------- tokenizers ---
+
+
+@pytest.mark.parametrize('charset', [CHARSET_36, CHARSET_94])
+def test_tokenizer_encode_matches_reference(charset):
+    ref = RefTokenizer(charset)
+    ours = Tokenizer(charset)
+    assert len(ref) == len(ours)
+    assert (ref.eos_id, ref.bos_id, ref.pad_id) == (ours.eos_id, ours.bos_id, ours.pad_id)
+
+    rng = np.random.default_rng(2)
+    max_len = 25
+    labels = _random_labels(rng, charset, 64, max_len=max_len, allow_empty=True)
+    want = t2n(ref.encode(labels))            # (N, batch_max_len + 2)
+    got = ours.encode(labels, max_len)        # (N, max_len + 2), fixed shape
+    L = want.shape[1]
+    np.testing.assert_array_equal(got[:, :L], want)
+    assert np.all(got[:, L:] == ours.pad_id)
+
+
+@pytest.mark.parametrize('charset', [CHARSET_36, CHARSET_94])
+def test_ctc_tokenizer_encode_matches_reference(charset):
+    ref = RefCTCTokenizer(charset)
+    ours = CTCTokenizer(charset)
+    assert len(ref) == len(ours)
+    assert ref.blank_id == ours.blank_id == 0
+
+    rng = np.random.default_rng(3)
+    labels = _random_labels(rng, charset, 64, allow_empty=False)
+    want = t2n(ref.encode(labels))
+    got = ours.encode(labels, 25)
+    L = want.shape[1]
+    np.testing.assert_array_equal(got[:, :L], want)
+    assert np.all(got[:, L:] == ours.blank_id)
+
+
+@pytest.mark.parametrize('tok_cls,ref_cls', [(Tokenizer, RefTokenizer),
+                                             (CTCTokenizer, RefCTCTokenizer)])
+def test_tokenizer_decode_matches_reference(tok_cls, ref_cls):
+    charset = CHARSET_94
+    ref = ref_cls(charset)
+    ours = tok_cls(charset)
+    rng = np.random.default_rng(4)
+    N, L, C = 48, 26, len(ref)
+    # Skew the distributions so EOS/blank appear with realistic frequency.
+    logits = rng.normal(size=(N, L, C)).astype(np.float32)
+    logits[..., 0] += rng.normal(1.0, 2.0, size=(N, L))
+    dists = torch.softmax(torch.from_numpy(logits), dim=-1)
+
+    want_tok, want_p = ref.decode(dists)
+    got_tok, got_p = ours.decode(t2n(dists))
+    assert got_tok == want_tok
+    assert len(got_p) == len(want_p)
+    for g, w in zip(got_p, want_p):
+        np.testing.assert_allclose(np.asarray(g), t2n(w), atol=1e-6)
+
+    # raw mode: per-position token lists, no filtering
+    want_tok, _ = ref.decode(dists, raw=True)
+    got_tok, _ = ours.decode(t2n(dists), raw=True)
+    assert got_tok == want_tok
+
+
+# ------------------------------------------------------------- NED / nltk ---
+
+
+def test_edit_distance_matches_nltk():
+    """base.py:138 computes NED with nltk.edit_distance; fuzz ours against it."""
+    from nltk import edit_distance as nltk_ed
+
+    from parseq_tpu.utils.metrics import edit_distance_batch, ned_batch
+
+    rng = np.random.default_rng(5)
+    pool = CHARSET_94 + 'Äß中'
+    pairs = []
+    for _ in range(300):
+        a = ''.join(rng.choice(list(pool), size=int(rng.integers(0, 26))))
+        if rng.random() < 0.3:      # correlated pair: mutate a
+            b = list(a)
+            for _ in range(int(rng.integers(0, 4))):
+                if b and rng.random() < 0.5:
+                    b.pop(int(rng.integers(0, len(b))))
+                else:
+                    b.insert(int(rng.integers(0, len(b) + 1)), str(rng.choice(list(pool))))
+            b = ''.join(b)
+        else:
+            b = ''.join(rng.choice(list(pool), size=int(rng.integers(0, 26))))
+        pairs.append((a, b))
+    pairs += [('', ''), ('', 'abc'), ('abc', ''), ('same', 'same')]
+
+    preds = [p for p, _ in pairs]
+    gts = [g for _, g in pairs]
+    want = np.asarray([nltk_ed(p, g) for p, g in pairs])
+    np.testing.assert_array_equal(edit_distance_batch(preds, gts), want)
+
+    # and the full ICDAR-2019 NED term (base.py:137-139)
+    want_ned = np.asarray([d / max(len(p), len(g)) if max(len(p), len(g)) else 0.0
+                           for d, (p, g) in zip(want, pairs)])
+    np.testing.assert_allclose(ned_batch(preds, gts), want_ned, atol=1e-12)
+
+
+# ----------------------------------------------------------------- BiLSTM ---
+
+
+def test_bilstm_matches_reference_module():
+    from strhub.models.modules import BidirectionalLSTM
+
+    from parseq_tpu.ops import rnn
+
+    m = BidirectionalLSTM(16, 32, 10).eval()
+    sd = {f'm.{k}': v for k, v in m.state_dict().items()}
+    p = tc._bilstm(sd, 'm')
+    x = np.random.randn(3, 11, 16).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(m(torch.from_numpy(x)))
+    got = np.asarray(rnn.bilstm(p, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ------------------------------------------------------------------- CRNN ---
+
+
+def test_crnn_matches_reference_model():
+    """Full reference CRNN (crnn/model.py:6-62) vs models/crnn.py with
+    converted weights: logits tight-close and argmax-identical."""
+    from strhub.models.crnn.model import CRNN as RefCRNN
+
+    from parseq_tpu.models import crnn
+
+    ref = RefCRNN(img_h=32, nc=3, nclass=37, nh=256)
+    # Diversify BN running stats away from (0, 1) before conversion.
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.randn(2, 3, 32, 128))
+    ref.eval()
+
+    params, stats = tc.convert_crnn(ref.state_dict())
+    cfg = crnn.CRNNConfig(num_tokens=37, hidden_size=256)
+
+    x = np.random.randn(4, 3, 32, 128).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(x)))
+    got, _ = crnn.forward(params, stats, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+# ------------------------------------------------------- ABINet submodules ---
+
+
+def test_abinet_positional_encoding_matches_reference():
+    from strhub.models.abinet.transformer import PositionalEncoding
+
+    from parseq_tpu.models.abinet import sinusoid_pe
+
+    pe = PositionalEncoding(128, dropout=0.0, max_len=26)
+    want = t2n(pe.pe)[:, 0, :]  # (max_len, d_model)
+    got = np.asarray(sinusoid_pe(26, 128))
+    # torch computes the PE in f32; ours in f64 then casts -> ~2e-6 skew
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+@pytest.mark.parametrize('use_self_attn', [False, True])
+def test_bcn_language_matches_reference(use_self_attn):
+    """BCNLanguage (vendored TransformerDecoder stack, location/padding masks)
+    vs language_forward with converted weights."""
+    from strhub.models.abinet.model_language import BCNLanguage
+
+    from parseq_tpu.models import abinet
+
+    C, E = 39, 64
+    ref = BCNLanguage(dataset_max_length=25, null_label=0, num_classes=C,
+                      d_model=E, nhead=4, d_inner=128, dropout=0.0,
+                      num_layers=2, detach=True, use_self_attn=use_self_attn).eval()
+    sd = {f'language.{k}': v for k, v in ref.state_dict().items()}
+    p = tc.convert_abinet_language(sd)
+    cfg = abinet.ABINetConfig(num_tokens=C + 2, d_model=E, nhead=4, d_inner=128,
+                              l_num_layers=2, l_use_self_attn=use_self_attn)
+    assert cfg.num_classes == C and cfg.max_length == 26
+
+    rng = np.random.default_rng(6)
+    N, T = 3, cfg.max_length
+    tokens = torch.softmax(torch.from_numpy(rng.normal(size=(N, T, C)).astype(np.float32)), -1)
+    # lengths >= 2, as in the reference system (label length + EOS): with
+    # length == 1 the diagonal location mask leaves query 0 no visible memory
+    # key and the REFERENCE itself emits NaN for that row.
+    lengths = torch.from_numpy(np.asarray([5, 26, 2]))
+    with torch.no_grad():
+        want = ref(tokens, lengths)
+    got = abinet.language_forward(p, cfg, jnp.asarray(t2n(tokens)),
+                                  jnp.asarray(t2n(lengths)))
+    np.testing.assert_allclose(np.asarray(got['logits']), t2n(want['logits']), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got['feature']), t2n(want['feature']), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got['pt_lengths']), t2n(want['pt_lengths']))
+
+
+def test_position_attention_matches_reference():
+    from strhub.models.abinet.attention import PositionAttention
+
+    from parseq_tpu.models import abinet
+
+    E = 128
+    ref = PositionAttention(max_length=26, in_channels=E, num_channels=64, h=8, w=32)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.randn(2, E, 8, 32))
+    ref.eval()
+
+    sd = {f'vision.attention.{k}': v for k, v in ref.state_dict().items()}
+    p, s = tc.convert_abinet_pos_attention(sd)
+    cfg = abinet.ABINetConfig(num_tokens=39, d_model=E)
+
+    x = np.random.randn(2, E, 8, 32).astype(np.float32)
+    with torch.no_grad():
+        want, want_scores = ref(torch.from_numpy(x))
+    got, _ = abinet._pos_attention(p, s, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-4)
+
+
+def test_base_alignment_matches_reference():
+    from strhub.models.abinet.model_alignment import BaseAlignment
+
+    from parseq_tpu.models import abinet
+
+    C, E = 39, 64
+    ref = BaseAlignment(dataset_max_length=25, null_label=0, num_classes=C, d_model=E).eval()
+    sd = {f'alignment.{k}': v for k, v in ref.state_dict().items()}
+    p = tc.convert_abinet_alignment(sd)
+    cfg = abinet.ABINetConfig(num_tokens=C + 2, d_model=E)
+
+    rng = np.random.default_rng(7)
+    l_feat = rng.normal(size=(3, 26, E)).astype(np.float32)
+    v_feat = rng.normal(size=(3, 26, E)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(l_feat), torch.from_numpy(v_feat))
+    got = abinet.alignment_forward(p, cfg, jnp.asarray(l_feat), jnp.asarray(v_feat))
+    np.testing.assert_allclose(np.asarray(got['logits']), t2n(want['logits']), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got['pt_lengths']), t2n(want['pt_lengths']))
+
+
+# ------------------------------------------------------------- TRBA pieces ---
+
+
+def test_tps_matches_reference():
+    """Full TPS STN — LocalizationNetwork + GridGenerator + F.grid_sample
+    (border padding, align_corners=True) — vs tps() + ops.grid_sample."""
+    from strhub.models.trba.transformation import TPS_SpatialTransformerNetwork
+
+    from parseq_tpu.models import trba
+
+    ref = TPS_SpatialTransformerNetwork(F=20, I_size=(32, 128), I_r_size=(32, 128),
+                                        I_channel_num=3)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.rand(2, 3, 32, 128))
+    ref.eval()
+
+    sd = {f'Transformation.{k}': v for k, v in ref.state_dict().items()}
+    p, s = tc.convert_tps_loc(sd)
+    cfg = trba.TRBAConfig(num_fiducial=20, img_size=(32, 128))
+    constants = trba.tps_constants(cfg)
+
+    x = np.random.rand(3, 3, 32, 128).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(x)))
+    got, _ = trba.tps(p, s, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)), constants)
+    # f32 accumulation-order skew through locnet convs + the TPS solve is
+    # amplified by bilinear sampling of the image; 2% of pixels land ~5e-4 off.
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-3)
+
+
+def test_trba_attention_decoder_matches_reference():
+    """Attention LSTM decoder (trba/prediction.py:6-73): teacher-forced and
+    greedy paths with converted weights."""
+    from strhub.models.trba.prediction import Attention as RefAttention
+
+    from parseq_tpu.models import trba
+
+    num_class, hidden, in_size, emb = 13, 48, 32, 20
+    ref = RefAttention(in_size, hidden, num_class, num_char_embeddings=emb)
+    sd = {f'Prediction.{k}': v for k, v in ref.state_dict().items()}
+    p = tc.convert_trba_attention(sd)
+    cfg = trba.TRBAConfig(num_tokens=num_class, hidden_size=hidden,
+                          num_char_embeddings=emb, max_label_length=7)
+
+    rng = np.random.default_rng(8)
+    B, T = 3, 10
+    batch_H = rng.normal(size=(B, T, in_size)).astype(np.float32)
+
+    # teacher-forced (reference training branch)
+    text = rng.integers(0, num_class, size=(B, cfg.num_steps)).astype(np.int64)
+    text[:, 0] = cfg.bos_id
+    ref.train()
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(batch_H), torch.from_numpy(text),
+                       max_label_length=cfg.max_label_length))
+    got = np.asarray(trba.attention_decode(p, cfg, jnp.asarray(batch_H),
+                                           text=jnp.asarray(text)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # greedy (reference eval branch): text[0] supplies the [SOS] id
+    ref.eval()
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(batch_H),
+                       torch.from_numpy(np.asarray([cfg.bos_id])),
+                       max_label_length=cfg.max_label_length))
+    got = np.asarray(trba.attention_decode(p, cfg, jnp.asarray(batch_H)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

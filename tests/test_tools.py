@@ -148,3 +148,52 @@ def test_abinet_lm_acc_tool(tmp_path):
                  '--splits', 'test/IIIT5k', '--batch_size', '4'])
     out = buf.getvalue()
     assert 'LM word accuracy:' in out and '/3)' in out
+
+
+def test_certify_pretrained_roundtrip(tmp_path, monkeypatch):
+    """Full certify_pretrained path with a synthetic released-format .pt:
+    twin state_dict -> sha256-prefix cache file -> convert -> demo regression
+    -> JSON verdict. (VERDICT r2 item 5: the accuracy-certification command
+    must be known-working before real weights appear.)"""
+    import hashlib
+    import json
+
+    import torch
+
+    from parseq_tpu.utils import pretrained
+    from tests.torch_twin import TwinPARSeq
+
+    torch.manual_seed(0)
+    # Full released PARSeq-S geometry: load_pretrained composes the 'parseq'
+    # experiment config, so the state_dict must match it.
+    twin = TwinPARSeq(num_tokens=97)
+    f = tmp_path / 'raw.pt'
+    torch.save(twin.state_dict(), f)
+    prefix = hashlib.sha256(f.read_bytes()).hexdigest()[:8]
+    cached = tmp_path / f'parseq-{prefix}.pt'
+    f.rename(cached)
+
+    monkeypatch.setitem(pretrained.WEIGHTS_URL, 'parseq',
+                        f'https://example.com/dl/parseq-{prefix}.pt')
+    monkeypatch.setenv('PARSEQ_TPU_CACHE', str(tmp_path))
+
+    sys.path.insert(0, str(REPO / 'tools'))
+    try:
+        import certify_pretrained
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / 'certify.json'
+    rc = certify_pretrained.main(['parseq', '--out', str(out)])
+    verdict = json.loads(out.read_text())
+
+    # Random weights cannot reproduce the README fixtures: the tool must
+    # complete the whole pipeline, record all six demo predictions, and
+    # report failure (nonzero exit + demo_ok False) rather than crash.
+    assert rc == 1
+    assert verdict['demo_ok'] is False
+    assert len(verdict['demo']) == 6
+    for name, entry in verdict['demo'].items():
+        assert isinstance(entry['pred'], str)
+        assert entry['expected'] is not None
+        assert entry['match'] is False or entry['match'] is True
