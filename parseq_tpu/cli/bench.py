@@ -82,13 +82,28 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
     }
 
 
+def _bench_defaults():
+    """Composable defaults from configs/bench.yaml (reference configs/bench.yaml)."""
+    from parseq_tpu.utils.config import CONFIG_ROOT, _load
+
+    try:
+        cfg = _load(CONFIG_ROOT / 'bench.yaml')
+    except OSError:
+        cfg = {}
+    d = cfg.get('bench', {}) or {}
+    d.setdefault('model', (cfg.get('defaults') or {}).get('model', 'parseq'))
+    return d
+
+
 def main(argv=None):
+    d = _bench_defaults()
     ap = argparse.ArgumentParser()
-    ap.add_argument('--model', default='parseq')
-    ap.add_argument('--batch_size', type=int, default=1)
-    ap.add_argument('--iters', type=int, default=8)
-    ap.add_argument('--trials', type=int, default=7)
-    ap.add_argument('--sweep', action='store_true', help='sweep label length 1..25 step 4')
+    ap.add_argument('--model', default=d.get('model', 'parseq'))
+    ap.add_argument('--batch_size', type=int, default=d.get('batch_size', 1))
+    ap.add_argument('--iters', type=int, default=d.get('iters', 8))
+    ap.add_argument('--trials', type=int, default=d.get('trials', 7))
+    ap.add_argument('--sweep', action='store_true', default=bool(d.get('sweep', False)),
+                    help='sweep label length 1..25 step 4')
     ap.add_argument('--int8', action='store_true',
                     help='int8 encoder serving path (ViT-backed models)')
     ap.add_argument('--profile', default=None, metavar='DIR',

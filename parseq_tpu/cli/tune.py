@@ -149,17 +149,29 @@ def run_trial(config, lr, steps, work_dir, *, trial_id=None, stoppers=(), seed=0
             'val_loss': last['val_loss'], 'stopped_early': stopped['early']}
 
 
+def _tune_defaults():
+    """Composable defaults from configs/tune.yaml (reference configs/tune.yaml)."""
+    from parseq_tpu.utils.config import CONFIG_ROOT, _load
+
+    try:
+        cfg = _load(CONFIG_ROOT / 'tune.yaml')
+    except OSError:
+        cfg = {}
+    return cfg.get('tune', {}) or {}
+
+
 def main(argv=None):
+    d = _tune_defaults()
     ap = argparse.ArgumentParser()
     ap.add_argument('overrides', nargs='*')
     ap.add_argument('--experiment', default=None)
-    ap.add_argument('--num_samples', type=int, default=8)
-    ap.add_argument('--rung_steps', type=int, default=500)
-    ap.add_argument('--rungs', type=int, default=3)
-    ap.add_argument('--lr_min', type=float, default=1e-4)
-    ap.add_argument('--lr_max', type=float, default=2e-3)
-    ap.add_argument('--work_dir', default=None)
-    ap.add_argument('--patience', type=int, default=3,
+    ap.add_argument('--num_samples', type=int, default=d.get('num_samples', 8))
+    ap.add_argument('--rung_steps', type=int, default=d.get('rung_steps', 500))
+    ap.add_argument('--rungs', type=int, default=d.get('rungs', 3))
+    ap.add_argument('--lr_min', type=float, default=float((d.get('lr') or {}).get('min', 1e-4)))
+    ap.add_argument('--lr_max', type=float, default=float((d.get('lr') or {}).get('max', 2e-3)))
+    ap.add_argument('--work_dir', default=d.get('resume_dir'))
+    ap.add_argument('--patience', type=int, default=d.get('patience', 3),
                     help='MetricTracker patience (validations of flat/down trend)')
     args = ap.parse_args(argv)
 

@@ -97,3 +97,16 @@ def test_compose_override_propagates_to_data():
     cfg2 = config_lib.compose('parseq', overrides={'model.batch_size': 4,
                                                    'data.batch_size': 8})
     assert cfg2['data']['batch_size'] == 8
+
+
+def test_bench_tune_config_files():
+    """configs/bench.yaml + tune.yaml exist (reference configs parity) and
+    feed the CLIs' argparse defaults."""
+    from parseq_tpu.cli.bench import _bench_defaults
+    from parseq_tpu.cli.tune import _tune_defaults
+
+    b = _bench_defaults()
+    assert b['model'] == 'parseq' and b['batch_size'] == 1
+    t = _tune_defaults()
+    assert t['num_samples'] == 10
+    assert float(t['lr']['min']) == 1e-4 and float(t['lr']['max']) == 2e-3
