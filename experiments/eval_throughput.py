@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end test-CLI eval throughput on the real chip (VERDICT r3 item 3).
+
+Round-2 state: steady ~600 img/s, bounded by host PIL decode (~1.5k img/s
+through the worker pool). This host exposes ONE CPU core, so the round-3
+levers are per-image host-work cuts, not worker scaling:
+  * uint8 transport (4x less worker IPC + H2D traffic; device-side
+    normalize with identical op order), and
+  * libjpeg DCT-scaled decode (PIL draft) for sources >= 2x target.
+
+This harness builds a synthetic benchmark suite with realistic JPEG crops
+(mixed 100x32 / 160x48 / 240x72 sources), then runs the REAL eval path
+(SceneTextDataModule.test_dataloaders -> train.evaluate.eval_dataset with a
+PARSeq-S bundle) in u8 and f32 loader modes, at num_workers 0/2.
+"""
+
+import argparse
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+from PIL import Image
+
+from parseq_tpu.data.lmdb import LmdbWriter
+
+
+def make_suite(root, n_sets=4, n_per=2048):
+    rng = np.random.default_rng(0)
+    sizes = [(100, 32), (160, 48), (240, 72)]
+    for s in range(n_sets):
+        path = f'{root}/data/test/SYN{s}'
+        with LmdbWriter(path) as w:
+            w.put(b'num-samples', str(n_per).encode())
+            for i in range(1, n_per + 1):
+                wpx, hpx = sizes[int(rng.integers(len(sizes)))]
+                arr = rng.integers(0, 255, (hpx, wpx, 3), dtype=np.uint8)
+                b = io.BytesIO()
+                Image.fromarray(arr).save(b, 'JPEG', quality=88)
+                w.put(f'image-{i:09d}'.encode(), b.getvalue())
+                word = ''.join(rng.choice(list('abcdefgh'), 4))
+                w.put(f'label-{i:09d}'.encode(), word.encode())
+    return [f'SYN{s}' for s in range(n_sets)]
+
+
+def run_eval(root, names, u8, num_workers, batch_size=256, fetch_group=4):
+    import jax.numpy as jnp
+
+    from parseq_tpu.data.module import SceneTextDataModule
+    from parseq_tpu.train.evaluate import eval_dataset
+    from parseq_tpu.utils.registry import create_model
+
+    model = create_model('parseq', dtype=jnp.bfloat16)
+    dm = SceneTextDataModule(f'{root}/data', 'real', model.img_size, 25,
+                             charset_train=model.cfg.charset_train if hasattr(model.cfg, 'charset_train') else '0123456789abcdefghijklmnopqrstuvwxyz',
+                             charset_test='0123456789abcdefghijklmnopqrstuvwxyz',
+                             batch_size=batch_size, num_workers=num_workers)
+    loaders = dm.test_dataloaders(tuple(names), u8=u8)
+    # warmup compile on one batch
+    first = next(iter(next(iter(loaders.values()))))
+    from parseq_tpu.train.evaluate import _normalize_u8
+    import jax
+    x = _normalize_u8(first[0]) if first[0].dtype == np.uint8 else jnp.asarray(first[0])
+    jax.block_until_ready(model(x))
+
+    n_total = 0
+    t0 = time.time()
+    for name in names:
+        r = eval_dataset(model, loaders[name], name, fetch_group=fetch_group)
+        n_total += r.num_samples
+    dt = time.time() - t0
+    return n_total / dt, n_total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', default='/tmp/eval_tput')
+    ap.add_argument('--n_per', type=int, default=2048)
+    args = ap.parse_args()
+
+    names = make_suite(args.root, n_per=args.n_per)
+    print('suite built')
+    for u8, nw, g in [(False, 0, 1), (True, 0, 1), (True, 0, 4), (True, 0, 8)]:
+        rate, n = run_eval(args.root, names, u8, nw, fetch_group=g)
+        print(f'u8={int(u8)} workers={nw} group={g}: {rate:7.0f} img/s over {n} samples', flush=True)
+
+
+if __name__ == '__main__':
+    main()

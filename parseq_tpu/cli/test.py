@@ -33,6 +33,15 @@ def main(argv=None):
     args, unknown = ap.parse_known_args(argv)
     kwargs = parse_model_args(unknown)
 
+    import os
+
+    if (os.cpu_count() or 1) <= 1 and args.num_workers > 0:
+        # On a single-core host the decode pool adds IPC cost with zero
+        # parallelism (and forking after JAX init is fragile); run inline.
+        print('single-core host: running decode inline (num_workers=0)',
+              file=sys.stderr)
+        args.num_workers = 0
+
     charset_test = string.digits + string.ascii_lowercase
     if args.cased:
         charset_test += string.ascii_uppercase

@@ -17,10 +17,13 @@ import numpy as np
 
 
 def _collate(items, batch_size):
-    """items: list of (img_array(H,W,3) f32, label). Pads to batch_size."""
+    """items: list of (img_array(H,W,3) f32 or u8, label). Pads to batch_size.
+
+    dtype follows the transform's output: the eval fast path ships uint8
+    through worker IPC / device transfer and normalizes on device."""
     n = len(items)
     h, w, c = items[0][0].shape
-    images = np.zeros((batch_size, h, w, c), np.float32)
+    images = np.zeros((batch_size, h, w, c), items[0][0].dtype)
     labels = []
     for i, (img, label) in enumerate(items):
         images[i] = img

@@ -30,6 +30,33 @@ def preprocess_pil(img: Image.Image, img_size=(32, 128), rotation: int = 0) -> n
     return (x - 0.5) / 0.5
 
 
+def preprocess_pil_u8(img: Image.Image, img_size=(32, 128), rotation: int = 0,
+                      fast_decode: bool = True) -> np.ndarray:
+    """PIL image -> (H, W, 3) uint8, resized; normalization deferred to device.
+
+    Eval-path variant (this host has few cores; see PERF.md "Host-side eval
+    path"): returns uint8 so worker->main IPC and host->device transfer move
+    4x fewer bytes, and the (x/255 - 0.5)/0.5 normalize runs on the TPU with
+    the exact same op order (bit-identical to the f32 host path).
+
+    ``fast_decode`` engages libjpeg's DCT-scaled decode (PIL ``draft``): for
+    JPEG sources >= 2x the target in both dims the decoder emits a 1/2- (or
+    1/4-, 1/8-) scale image nearly free; the bicubic resize then runs from
+    that. No-op for PNG and for benchmark-typical small crops (measured:
+    zero pixel delta below the 2x threshold, +40-80% decode rate above it).
+    Skipped under rotation (rotate acts on the decoded image).
+    """
+    h, w = img_size
+    if fast_decode and not rotation:
+        img.draft('RGB', (w, h))  # no-op unless JPEG and source >= 2x target
+    if img.mode != 'RGB':
+        img = img.convert('RGB')
+    if rotation:
+        img = img.rotate(rotation, expand=True)
+    img = img.resize((w, h), Image.Resampling.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def load_image(path, img_size=(32, 128), rotation: int = 0) -> np.ndarray:
     with Image.open(path) as img:
         return preprocess_pil(img, img_size, rotation)

@@ -77,6 +77,16 @@ def score_batch(tokenizer, charset_adapter, probs, labels, valid=None,
 
 
 @jax.jit
+def _normalize_u8(x):
+    """uint8 NHWC -> f32 in [-1, 1] on device; same op order as the host
+    path (transforms.preprocess_pil) — equal to within 1 ulp (XLA may fuse
+    the affine into an FMA, flipping the last bit)."""
+    import jax.numpy as jnp
+
+    return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+
+
+@jax.jit
 def _device_post(logits):
     """softmax/argmax/gather on device so the fetch is ids + picked probs
     (module-level so the jit cache is shared across eval_dataset calls —
@@ -89,36 +99,57 @@ def _device_post(logits):
     return ids, conf
 
 
-def eval_dataset(model, loader, name='val', forward=None, depth=4) -> Result:
+def eval_dataset(model, loader, name='val', forward=None, depth=8,
+                 fetch_group=4) -> Result:
     """Run a ModelBundle over a loader; returns the aggregated Result.
 
-    Pipelined: keeps `depth` batches in flight so device compute and result
-    transfer overlap with host decode/scoring and the next batch's load
-    (a synchronous dispatch->fetch per batch pays the full device round-trip
-    latency each time — ~15x slower through the axon relay). Device-side
-    post-processing (softmax/argmax/gather under jit) shrinks the fetched
-    result from the (B, L, C) distribution to ids + picked probs.
+    Pipelined: keeps up to `depth` batches in flight so device compute and
+    result transfer overlap with host decode/scoring and the next batch's
+    load (a synchronous dispatch->fetch per batch pays the full device
+    round-trip latency each time — ~15x slower through the axon relay).
+    Device-side post-processing (softmax/argmax/gather under jit) shrinks
+    the fetched result from the (B, L, C) distribution to ids + picked
+    probs, and results are fetched `fetch_group` batches at a time through a
+    device-side stack — one round trip per group instead of per batch (the
+    relay RTT, not bytes, dominates small fetches; measured in
+    experiments/eval_throughput.py).
     """
     import collections
+
+    import jax.numpy as jnp
 
     fwd = forward or model
     post = _device_post
     total = BatchResult()
     inflight = collections.deque()
 
-    def drain_one():
-        (ids, conf), labels, valid = inflight.popleft()
-        preds, pred_probs = model.tokenizer.decode_ids(
-            jax.device_get(ids), jax.device_get(conf))
-        total.add(score_decoded(model.charset_adapter, preds, pred_probs,
-                                labels, valid))
+    def drain_group():
+        take = max(1, min(fetch_group, len(inflight)))
+        items = [inflight.popleft() for _ in range(take)]
+        if take == 1:
+            ids, conf = jax.device_get(items[0][0])
+        else:
+            # concat on device -> a single 2-buffer fetch for the whole group
+            ids, conf = jax.device_get(
+                (jnp.concatenate([it[0][0] for it in items]),
+                 jnp.concatenate([it[0][1] for it in items])))
+        off = 0
+        for _, labels, valid in items:
+            b = len(valid)
+            preds, pred_probs = model.tokenizer.decode_ids(
+                ids[off:off + b], conf[off:off + b])
+            off += b
+            total.add(score_decoded(model.charset_adapter, preds, pred_probs,
+                                    labels, valid))
 
     for images, labels, valid in loader:
+        if images.dtype == np.uint8:
+            images = _normalize_u8(images)
         inflight.append((post(fwd(images)), labels, valid))
         if len(inflight) >= depth:
-            drain_one()
+            drain_group()
     while inflight:
-        drain_one()
+        drain_group()
     return summarize(name, total)
 
 

@@ -227,3 +227,60 @@ def test_pool_workers_have_distinct_rng_streams(tmp_path):
     assert len(set(vals_e0)) == len(vals_e0), 'duplicate RNG draws across workers'
     vals_e1 = [float(img[0, 0, 0, 0]) for img, _, _ in DataLoader(ds, 1, num_workers=4, epoch=1)]
     assert set(vals_e0).isdisjoint(vals_e1), 'epoch RNG streams repeat'
+
+
+def test_u8_eval_path_bit_identical():
+    """uint8 transport + device normalize must equal the f32 host path to
+    <= 1 ulp for non-drafted sources (XLA fuses the normalize into an FMA,
+    so the last bit can differ; 255 uint8 levels map 1:1 regardless)."""
+    import io
+
+    import jax.numpy as jnp
+
+    from parseq_tpu.data.transforms import preprocess_pil, preprocess_pil_u8
+    from parseq_tpu.train.evaluate import _normalize_u8
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (40, 90, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')  # PNG: draft is a no-op
+
+    f32 = preprocess_pil(Image.open(io.BytesIO(buf.getvalue())))
+    u8 = preprocess_pil_u8(Image.open(io.BytesIO(buf.getvalue())))
+    assert u8.dtype == np.uint8 and u8.shape == (32, 128, 3)
+    dev = np.asarray(_normalize_u8(jnp.asarray(u8[None])))[0]
+    np.testing.assert_allclose(dev, f32, atol=1.3e-7)  # 1 ulp at |x|<=1
+
+
+def test_u8_loader_and_eval_dataset(tmp_path):
+    """test_dataloaders default to uint8 batches; eval_dataset normalizes on
+    device and scores identically to an f32 loader."""
+    root = tmp_path / 'data'
+    for name in ('IIIT5k',):
+        make_str_db(root / 'test' / name, [(_png_bytes(), 'abc'), (_png_bytes(), 'de')])
+    dm = SceneTextDataModule(str(root), 'real', (32, 128), 25,
+                             charset_train='abcdefghijklmnopqrstuvwxyz',
+                             charset_test='abcdefghijklmnopqrstuvwxyz',
+                             batch_size=2, num_workers=0)
+    u8_loader = dm.test_dataloaders(('IIIT5k',))['IIIT5k']
+    imgs, labels, valid = next(iter(u8_loader))
+    assert imgs.dtype == np.uint8
+
+    f32_loader = dm.test_dataloaders(('IIIT5k',), u8=False)['IIIT5k']
+    imgs32, _, _ = next(iter(f32_loader))
+    assert imgs32.dtype == np.float32
+
+    from parseq_tpu.train.evaluate import eval_dataset
+    from parseq_tpu.utils.registry import create_model
+
+    import jax.numpy as jnp
+
+    m = create_model('parseq-tiny', dtype=jnp.float32, enc_depth=1, embed_dim=48,
+                     enc_num_heads=3, dec_num_heads=6, max_label_length=5,
+                     charset_train='abcdefghijklmnopqrstuvwxyz',
+                     charset_test='abcdefghijklmnopqrstuvwxyz')
+    r_u8 = eval_dataset(m, u8_loader, 'u8')
+    r_f32 = eval_dataset(m, f32_loader, 'f32')
+    assert r_u8.num_samples == r_f32.num_samples == 2
+    assert r_u8.accuracy == r_f32.accuracy
+    assert r_u8.confidence == r_f32.confidence
