@@ -48,8 +48,8 @@ def main():
         perms = jnp.asarray(parseq.gen_tgt_perms(rng, base))
         return im, tgt, perms
 
-    for remat, bs, k_acc in [(True, 384, 1), (False, 384, 1), (False, 192, 2),
-                             (False, 128, 3), (True, 192, 2)]:
+    for remat, bs, k_acc in [(True, 192, 2), (True, 128, 3), (True, 96, 4),
+                             (True, 64, 6), (True, 384, 1)]:
         cfg = dataclasses.replace(base, remat=remat)
 
         def loss_of(p, im, tgt, perms):
@@ -73,8 +73,9 @@ def main():
                 jax.block_until_ready(o)
                 times.append((time.perf_counter() - t0) / len(batches))
             t = statistics.median(times)
+            eff = bs * k_acc
             print(f'remat={remat!s:5} bs={bs} x{k_acc}: {t*1e3:6.1f} ms per '
-                  f'effective-384 batch ({384/t:.0f} img/s)', flush=True)
+                  f'effective-{eff} batch ({eff/t:.0f} img/s)', flush=True)
         except Exception as e:  # noqa: BLE001 - compile failure is a result
             print(f'remat={remat!s:5} bs={bs} x{k_acc}: FAILED '
                   f'{type(e).__name__}: {str(e)[:150]}', flush=True)

@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bs', type=int, default=384)
     ap.add_argument('--steps', type=int, default=30)
+    ap.add_argument('--microbatches', type=int, default=1)
     args = ap.parse_args()
     bs = args.bs
 
@@ -39,7 +40,8 @@ def main():
     tx, _ = optim.make_optimizer(ocfg, params)
     state = {'params': params, 'stats': {}, 'opt_state': tx.init(params),
              'step': jnp.zeros((), jnp.int32)}
-    step_fn = jax.jit(make_parseq_train_step(cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_parseq_train_step(cfg, tx, microbatches=args.microbatches),
+                      donate_argnums=(0,))
     base_rng = jax.random.key(1, impl="unsafe_rbg")  # production loop.py rng impl
 
     def batch(seed):

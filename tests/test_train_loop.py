@@ -159,3 +159,52 @@ def test_sharding_invariance_across_mesh_sizes(data_root, tmp_path):
     assert losses[1] and len(losses[1]) == len(losses[2]) == len(losses[4])
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-5)
     np.testing.assert_allclose(losses[1], losses[4], rtol=2e-5)
+
+
+def test_microbatched_step_matches_single(tmp_path):
+    """In-jit microbatch accumulation (steps.make_train_step microbatches=4)
+    must match the single-batch step exactly when dropout is off (equal
+    per-slice weighting = reference DDP grad averaging)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parseq_tpu.models import parseq
+    from parseq_tpu.train import optim
+    from parseq_tpu.train.steps import make_parseq_train_step
+
+    cfg = parseq.PARSeqConfig(num_tokens=13, max_label_length=5, img_size=(16, 32),
+                              patch_size=(4, 8), embed_dim=32, enc_num_heads=2,
+                              enc_depth=2, dec_num_heads=4, dec_depth=1, dropout=0.0)
+    rng_np = np.random.default_rng(0)
+    B = 8
+    images = jnp.asarray(rng_np.uniform(size=(B, *cfg.img_size, 3)), jnp.float32)
+    # chars only (no EOS=0 / PAD): every position valid in every slice, so the
+    # DDP-style mean-of-slice-means equals the global mean exactly (with
+    # unequal slice numels they differ by design, as across DDP replicas).
+    tgt = jnp.asarray(rng_np.integers(1, 10, (B, cfg.max_label_length + 2)), jnp.int32)
+    perms = jnp.asarray(parseq.gen_tgt_perms(rng_np, cfg))
+    key = jax.random.key(1)
+
+    results = {}
+    for m in (1, 4):
+        ocfg = optim.OptimConfig(lr=1e-3, batch_size=B, total_steps=10)
+        params = parseq.init(jax.random.key(0), cfg)
+        tx, _ = optim.make_optimizer(ocfg, params)
+        state = {'params': params, 'stats': {}, 'opt_state': tx.init(params),
+                 'step': jnp.zeros((), jnp.int32)}
+        step = jax.jit(make_parseq_train_step(cfg, tx, compute_dtype=jnp.float32,
+                                              microbatches=m))
+        state, metrics = step(state, images, tgt, perms, key)
+        results[m] = (jax.device_get(state['params']), float(metrics['loss']),
+                      float(metrics['grad_norm']), int(metrics['numel']))
+
+    p1, l1, g1, n1 = results[1]
+    p4, l4, g4, n4 = results[4]
+    assert n1 == n4
+    np.testing.assert_allclose(l4, l1, rtol=1e-5)
+    np.testing.assert_allclose(g4, g1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
