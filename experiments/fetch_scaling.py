@@ -32,7 +32,9 @@ def main():
     args = ap.parse_args()
 
     sizes = [1 << k for k in range(10, 27, 2)]  # 1 KB .. 64 MB
-    make = jax.jit(lambda key, n: jax.random.bits(key, (n,), jnp.uint8))
+    import functools
+    make = jax.jit(lambda key, n: jax.random.bits(key, (n,), jnp.uint8),
+                   static_argnums=1)
 
     rows = []
     for n in sizes:
