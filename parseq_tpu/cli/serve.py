@@ -30,7 +30,7 @@ from parseq_tpu.utils.registry import load_from_checkpoint
 def make_handler(server, bundle):
     from PIL import Image
 
-    from parseq_tpu.data.transforms import preprocess_pil
+    from parseq_tpu.data.transforms import preprocess_pil_u8
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -56,8 +56,8 @@ def make_handler(server, bundle):
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
-                img = Image.open(io.BytesIO(self.rfile.read(n))).convert('RGB')
-                arr = np.asarray(preprocess_pil(img, bundle.img_size), np.float32)
+                img = Image.open(io.BytesIO(self.rfile.read(n)))
+                arr = preprocess_pil_u8(img, bundle.img_size)
             except Exception as e:  # noqa: BLE001 - bad input -> client error
                 self._json(400, {'error': f'{type(e).__name__}: {e}'})
                 return

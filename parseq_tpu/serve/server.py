@@ -46,7 +46,7 @@ def _rungs(max_batch):
 
 @dataclass
 class _Request:
-    image: np.ndarray  # (H, W, 3) float32, already preprocessed
+    image: np.ndarray  # (H, W, 3): uint8 resized (preferred) or f32 normalized
     future: Future = field(default_factory=Future)
 
 
@@ -101,12 +101,19 @@ class InferenceServer:
         while the dispatcher is idle."""
         h, w = self.bundle.img_size
         for b in rungs or self.rungs:
-            ids, conf = self._forward(np.zeros((b, h, w, 3), np.float32))
+            # uint8 is the production request dtype (4x less relay upload;
+            # normalize runs on device). f32 submissions compile lazily.
+            ids, conf = self._forward(np.zeros((b, h, w, 3), np.uint8))
             np.asarray(conf)  # forced fetch (relay executes on fetch)
 
     def submit(self, image: np.ndarray) -> Future:
-        """image: (H, W, 3) float32 normalized; returns Future[(str, float)]."""
-        req = _Request(np.asarray(image, np.float32))
+        """image: (H, W, 3) — uint8 resized (normalize runs on device; 4x
+        less host->device traffic) or float32 already normalized.
+        Returns Future[(str, float)]."""
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = np.asarray(image, np.float32)
+        req = _Request(image)
         if self._stop.is_set():
             req.future.set_exception(RuntimeError('InferenceServer stopped'))
             return req.future
@@ -115,10 +122,14 @@ class InferenceServer:
 
     def read_files(self, paths):
         """Convenience: PIL decode + preprocess + submit; returns results."""
-        from parseq_tpu.data.transforms import batch_images
+        from PIL import Image
 
-        images = batch_images(paths, self.bundle.img_size)
-        futures = [self.submit(im) for im in np.asarray(images)]
+        from parseq_tpu.data.transforms import preprocess_pil_u8
+
+        futures = []
+        for p in paths:
+            with Image.open(p) as img:
+                futures.append(self.submit(preprocess_pil_u8(img, self.bundle.img_size)))
         return [f.result() for f in futures]
 
     # -- internals ----------------------------------------------------------
@@ -131,6 +142,9 @@ class InferenceServer:
         fwd = self.bundle.forward_fn
 
         def fused(params, images):
+            if images.dtype == jax.numpy.uint8:
+                # same op order as transforms.preprocess_pil (1-ulp parity)
+                images = (images.astype(jax.numpy.float32) / 255.0 - 0.5) / 0.5
             return _device_post(fwd(params, images))
 
         return jax.jit(fused)
@@ -167,9 +181,15 @@ class InferenceServer:
             try:
                 rung = next(r for r in self.rungs if r >= len(reqs))
                 h, w = self.bundle.img_size
-                batch = np.zeros((rung, h, w, 3), np.float32)
+                # one dtype per batch: uint8 unless a legacy f32 request is
+                # present (then u8 members are normalized on host)
+                u8 = all(r.image.dtype == np.uint8 for r in reqs)
+                batch = np.zeros((rung, h, w, 3), np.uint8 if u8 else np.float32)
                 for i, r in enumerate(reqs):
-                    batch[i] = r.image  # raises on wrong-shape submissions
+                    im = r.image  # raises on wrong-shape submissions
+                    if not u8 and im.dtype == np.uint8:
+                        im = (im.astype(np.float32) / 255.0 - 0.5) / 0.5
+                    batch[i] = im
                 out = self._forward(batch)  # async dispatch (device ids+conf)
             except Exception as e:  # noqa: BLE001 - fail THESE requests, keep serving
                 for r in reqs:
