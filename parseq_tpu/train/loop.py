@@ -26,7 +26,7 @@ from parseq_tpu.data.module import SceneTextDataModule
 from parseq_tpu.ops import ctc as ctc_ops
 from parseq_tpu.parallel import global_batch, make_mesh, replicate
 from parseq_tpu.train import optim
-from parseq_tpu.train.evaluate import BatchResult, score_batch, summarize
+from parseq_tpu.train.evaluate import BatchResult, score_decoded, summarize
 from parseq_tpu.train.families import get_family
 from parseq_tpu.train.steps import make_train_step
 from parseq_tpu.utils.checkpoint import save_checkpoint, save_topk
@@ -261,26 +261,48 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     # the data-side stream is host numpy and unaffected).
     base_rng = replicate(jax.random.key(seed, impl='unsafe_rbg'), mesh)
 
-    def val_loss_from_logits(logits, labels, batch_size):
-        if family.val == 'ctc':
-            targets = tok.encode(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
-            lengths = tok.lengths(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
-            lp = jax.nn.log_softmax(logits, -1)
-            per = ctc_ops.ctc_loss(lp, jnp.asarray(targets), jnp.asarray(lengths),
-                                   reduction='none')
-            n = len(labels)
-            return float(jnp.sum(per[:n] / jnp.maximum(jnp.asarray(lengths[:n]), 1)) / max(n, 1)), n
-        # CE: targets aligned to logits positions
-        enc = tok.encode(labels + [''] * (batch_size - len(labels)), cfg.max_label_length)
-        T = logits.shape[1]
-        targets = jnp.asarray(enc[:, 1 : T + 1])
+    # Device-side val post-processing: softmax/argmax/gather + the val loss
+    # under one jit, so the per-batch fetch is ids+conf+2 scalars instead of
+    # the full (B, L, C) probability tensor (relay fetch moves ~8.4 MB/s —
+    # PERF.md fetch-scaling; a bs=384 prob tensor is ~3.9 MB ≈ 0.5 s).
+    @jax.jit
+    def _val_post_ce(logits, targets, n_valid_rows):
+        B = targets.shape[0]
         pad_id = len(tok) - 1
-        valid = (targets != pad_id) & (jnp.arange(batch_size)[:, None] < len(labels))
-        logp = jax.nn.log_softmax(logits, -1)
+        valid = (targets != pad_id) & (jnp.arange(B)[:, None] < n_valid_rows)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
         nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
-        numel = int(jnp.sum(valid))
-        return float(jnp.sum(nll * valid) / max(numel, 1)), numel
+        numel = jnp.sum(valid)
+        loss = jnp.sum(nll * valid) / jnp.maximum(numel, 1)
+        probs = jnp.exp(logp)
+        ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        conf = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
+        return ids, conf, loss, numel
+
+    @jax.jit
+    def _val_post_ctc(logits, targets, lengths, n_valid_rows):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        per = ctc_ops.ctc_loss(lp, targets, lengths, reduction='none')
+        row = jnp.arange(targets.shape[0]) < n_valid_rows
+        loss = jnp.sum(jnp.where(row, per / jnp.maximum(lengths, 1), 0.0)) \
+            / jnp.maximum(n_valid_rows, 1)
+        probs = jnp.exp(lp)
+        ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        conf = jnp.take_along_axis(probs, ids[..., None], axis=-1)[..., 0]
+        return ids, conf, loss, n_valid_rows
+
+    def val_post(logits, labels, batch_size):
+        """-> (ids, conf, loss, numel): one fused device pass, small fetch."""
+        pad = [''] * (batch_size - len(labels))
+        if family.val == 'ctc':
+            targets = jnp.asarray(tok.encode(labels + pad, cfg.max_label_length))
+            lengths = jnp.asarray(tok.lengths(labels + pad, cfg.max_label_length))
+            return _val_post_ctc(logits, targets, lengths, len(labels))
+        enc = tok.encode(labels + pad, cfg.max_label_length)
+        T = logits.shape[1]
+        targets = jnp.asarray(enc[:, 1 : T + 1])
+        return _val_post_ce(logits, targets, len(labels))
 
     def validate(tree):
         # Every host evaluates the full val set (loaders unsharded): metrics
@@ -292,14 +314,13 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             if n_procs > 1:
                 lb = B // n_procs
                 local = images[jax.process_index() * lb:(jax.process_index() + 1) * lb]
-                logits = np.asarray(jax.device_get(fwd(_maybe_flatten(tree),
-                                                       global_batch(local, mesh))))
+                logits = fwd(_maybe_flatten(tree), global_batch(local, mesh))
             else:
                 logits = fwd(_maybe_flatten(tree), jnp.asarray(images))
-            loss, numel = val_loss_from_logits(logits, labels, B)
-            probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-            total.add(score_batch(tok, bundle.charset_adapter, jax.device_get(probs),
-                                  labels, valid, loss, numel))
+            ids, conf, loss, numel = jax.device_get(val_post(logits, labels, B))
+            preds, pred_probs = tok.decode_ids(ids, conf)
+            total.add(score_decoded(bundle.charset_adapter, preds, pred_probs,
+                                    labels, valid, float(loss), int(numel)))
         res = summarize('val', total)
         val_loss = total.loss / max(total.loss_numel, 1)
         return res, val_loss
