@@ -56,12 +56,12 @@ def make_data(n, rng, vocab=None):
     return imgs, words, vocab
 
 
-def main(steps=1200, bs=128, eval_every=200):
-    rng = np.random.default_rng(0)
+def main(steps=1200, bs=128, eval_every=200, shared_perm_dropout=True, seed=0):
+    rng = np.random.default_rng(seed)
     cfg = parseq.PARSeqConfig(
         num_tokens=len(CHARSET_36) + 3, max_label_length=MAXLEN,
         embed_dim=192, enc_num_heads=3, enc_depth=6, dec_num_heads=6,
-        decode_ar=True, refine_iters=1,
+        decode_ar=True, refine_iters=1, shared_perm_dropout=shared_perm_dropout,
     )
     tok = Tokenizer(CHARSET_36)
     adapter = CharsetAdapter(CHARSET_36)
@@ -71,7 +71,7 @@ def main(steps=1200, bs=128, eval_every=200):
 
     ocfg = optim.OptimConfig(lr=7e-4, batch_size=bs, total_steps=steps,
                              warmup_pct=0.1, swa=False)
-    params = parseq.init(jax.random.key(0), cfg)
+    params = parseq.init(jax.random.key(seed), cfg)
     tx, _ = optim.make_optimizer(ocfg, params)
     state = {'params': params, 'stats': {}, 'opt_state': tx.init(params),
              'step': jnp.zeros((), jnp.int32)}

@@ -50,6 +50,18 @@ class PARSeqConfig:
     refine_iters: int = 1
     dropout: float = 0.1
     remat: bool = False  # encoder rematerialization (training)
+    # One dropout-mask draw per site, shared by all K permutations, instead
+    # of K independent draws (the reference's sequential decode calls each
+    # draw fresh masks, system.py:181-186). The expected per-perm loss and
+    # gradient are identical and it saves 2.4 ms of the 7.3 ms
+    # decoder+head+loss piece at bs=96 — but the cross-perm mask
+    # correlation measurably hurts convergence: a 3-seed A/B at PARSeq-Ti
+    # scale (experiments/convergence_tpu.py, 1200 steps) gave
+    # shared 50.8/85.5/91.8% vs independent 55.9/87.9/94.9% val accuracy,
+    # independent winning every seed with consistently lower train loss.
+    # Default False = reference semantics; the flag stays as a documented
+    # measured-rejected lever (PERF.md).
+    shared_perm_dropout: bool = False
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6
@@ -538,16 +550,19 @@ def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=
     content_bias, query_bias = jax.vmap(perm_attn_masks)(perms)  # (K, L-1, L-1)
 
     K = perms.shape[0]
-    rngs = _rng_list(rng, K)
 
     def decode_one(cb, qb, r):
         out = decode(params, cfg, tgt_in, memory, query_bias=qb, content_bias=cb,
                      padding_mask=padding_mask, dtype=dtype, drop=cfg.dropout, rng=r)
         return head(params, out)  # (B, L-1, C)
 
-    if rng is None:
-        logits = jax.vmap(decode_one, in_axes=(0, 0, None))(content_bias, query_bias, None)
+    if rng is None or cfg.shared_perm_dropout:
+        # rng unbatched under vmap: one mask draw per dropout site, shared by
+        # all K perms (and the perm-independent content embedding hoists out
+        # of the vmap). See PARSeqConfig.shared_perm_dropout.
+        logits = jax.vmap(decode_one, in_axes=(0, 0, None))(content_bias, query_bias, rng)
     else:
+        rngs = _rng_list(rng, K)
         logits = jax.vmap(decode_one)(content_bias, query_bias, jnp.stack(rngs))
 
     # Validity: PAD never counts; EOS counts only for perm index < 2.

@@ -157,6 +157,47 @@ def test_multi_perm_loss_runs_and_is_finite(twin_and_params, images):
     assert int(numel) == want
 
 
+def test_shared_perm_dropout_semantics():
+    """shared_perm_dropout=True draws ONE mask per dropout site for all K
+    perms. With two identical perm rows the per-perm loss terms are then
+    identical, so the K=2 mean equals the K=1 loss exactly; independent
+    per-perm masks (the reference's sequential decode calls) break that
+    equality. Without dropout rng both paths are identical."""
+    import dataclasses
+
+    import jax
+
+    from parseq_tpu.data import Tokenizer
+
+    base = parseq.PARSeqConfig(num_tokens=13, max_label_length=5, img_size=(16, 32),
+                               embed_dim=32, enc_num_heads=2, enc_depth=1,
+                               dec_num_heads=4)
+    tok = Tokenizer('0123456789')
+    params = parseq.init(jax.random.key(0), base)
+    rng = np.random.default_rng(0)
+    images_l = jnp.asarray(rng.standard_normal((4, 16, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(tok.encode(['12', '345', '0987', '6'], 5))
+    fwd_perm = np.arange(base.max_label_length + 2)
+    dup = jnp.asarray(np.stack([fwd_perm, fwd_perm]))
+    single = dup[:1]
+    key = jax.random.key(7)
+
+    shared = dataclasses.replace(base, shared_perm_dropout=True)
+    perperm = dataclasses.replace(base, shared_perm_dropout=False)
+
+    l_dup, _ = parseq.multi_perm_loss(params, shared, images_l, tgt, dup, rng=key)
+    l_one, _ = parseq.multi_perm_loss(params, shared, images_l, tgt, single, rng=key)
+    np.testing.assert_allclose(float(l_dup), float(l_one), rtol=1e-6)
+
+    l_ind, _ = parseq.multi_perm_loss(params, perperm, images_l, tgt, dup, rng=key)
+    assert abs(float(l_ind) - float(l_one)) > 1e-4  # independent masks differ
+
+    # No dropout rng: both paths bit-identical.
+    a, _ = parseq.multi_perm_loss(params, shared, images_l, tgt, dup)
+    b, _ = parseq.multi_perm_loss(params, perperm, images_l, tgt, dup)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ar_early_exit_matches_scan(twin_and_params, images):
     """while_loop early-exit AR decode decodes the same strings as full scan."""
     import jax
