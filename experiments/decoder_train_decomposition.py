@@ -10,15 +10,22 @@ to decide whether a fused two-stream kernel / perm-fold layout is worth
 building, and what its upper bound is.
 
 Everything is timed with a device-resident precomputed memory so the
-encoder is out of the picture; fresh per-step bias/rng inputs defeat the
-relay's (executable, input) memoization.
+encoder is out of the picture.
+
+TIMING CORRECTION (round 3): the first version of this script timed
+independent per-call dispatches with block_until_ready, which under the
+axon relay does not synchronize and produced numbers as low as 6x over
+chip peak (see relay_timing_calibration.py). All measurements now go
+through experiments/_timing.slope_ms — an in-jit lax.scan at two lengths
+whose time difference cancels every per-dispatch constant. The original
+table's ratios (e.g. "7.25 ms at bs=96 vs 13.1 ms at bs=384") were
+artifacts; honest numbers show the piece is flat in batch size per
+effective image (decoder_bwd_scaling.py).
 """
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
@@ -27,29 +34,30 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _timing import slope_ms
 from parseq_tpu.models import parseq
 from parseq_tpu.ops import layers
 from parseq_tpu.ops.layers import layer_norm, linear, mha, dropout
 
 
-def timed(fn, inputs, trials=5):
-    out = fn(*inputs[0])
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        o = None
-        for args in inputs:
-            o = fn(*args)
-        jax.block_until_ready(o)
-        times.append((time.perf_counter() - t0) / len(inputs))
-    return statistics.median(times) * 1e3
+def make_timed(base):
+    """Returns timed(fn): slope-timed ms/evaluation of fn(memory, tgt,
+    perms, key). Memory is perturbed per iteration and the rng key folded
+    so no two scan iterations share inputs."""
+    memory0, tgt, perms, _ = base
+
+    def timed(fn):
+        def body(i, key):
+            mem = memory0 * (1.0 + 0.001 * i.astype(memory0.dtype))
+            return jnp.asarray(fn(mem, tgt, perms, key), jnp.float32).sum()
+        return slope_ms(body, key_impl='unsafe_rbg')
+
+    return timed
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bs', type=int, default=96)
-    ap.add_argument('--steps', type=int, default=16)
     args = ap.parse_args()
     bs = args.bs
     dtype = jnp.bfloat16
@@ -71,7 +79,7 @@ def main():
         perms = jnp.asarray(parseq.gen_tgt_perms(rng, cfg))[:K]
         return memory, tgt, perms, jax.random.key(seed + 1)
 
-    inputs = [batch(i) for i in range(args.steps)]
+    timed = make_timed(batch(0))
 
     # ---- production piece: decode(K perms) + head + masked CE --------------
     def loss_from_memory(memory, tgt_ids, perms, key, drop):
@@ -129,9 +137,9 @@ def main():
             logp, tgt_safe[None, ..., None].repeat(K, 0), axis=-1)[..., 0]
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
-    t_prod = timed(prod, inputs)
-    t_nodrop = timed(nodrop, inputs)
-    t_shared = timed(jax.jit(loss_shared_mask), inputs)
+    t_prod = timed(prod)
+    t_nodrop = timed(nodrop)
+    t_shared = timed(loss_shared_mask)
 
     # ---- decode only (no head/loss), no dropout ----------------------------
     def decode_only(memory, tgt_ids, perms, key):
@@ -146,7 +154,7 @@ def main():
 
         return jax.vmap(one, in_axes=(0, 0))(cb, qb).sum()
 
-    t_decode = timed(jax.jit(decode_only), inputs)
+    t_decode = timed(decode_only)
 
     # ---- sublayer ablations (no dropout): drop one piece at a time ---------
     def stream_ablate(memory, tgt_ids, perms, skip):
@@ -181,13 +189,16 @@ def main():
 
     t_ab = {}
     for skip in ('none', 'self', 'cross', 'mlp'):
-        fn = jax.jit(lambda m, t, p, k, s=skip: stream_ablate(m, t, p, s))
-        t_ab[skip] = timed(fn, inputs)
+        t_ab[skip] = timed(lambda m, t, p, k, s=skip: stream_ablate(m, t, p, s))
 
     # ---- pure matmul floor: identical matmul shapes, zero glue -------------
     def matmul_floor(memory, tgt_ids, perms, key):
         lp = params['decoder']['layers'][0]
-        x = jnp.zeros((K * bs * (L - 1), D), dtype)
+        # real data (a zeros input lets XLA's algebraic simplifier delete
+        # the matmuls outright, making the "floor" fictional)
+        rows = K * bs * (L - 1)
+        flat = memory.reshape(-1, D)
+        x = jnp.concatenate([flat] * (rows // flat.shape[0] + 1), 0)[:rows]
         h = x
         for p in (lp['self_attn']['q'], lp['self_attn']['k'],
                   lp['self_attn']['v'], lp['self_attn']['out'],
@@ -202,7 +213,7 @@ def main():
         lg = linear(params['head'], x)
         return h.sum() + mk.sum() + mv.sum() + h2.sum() + lg.sum()
 
-    t_floor = timed(jax.jit(matmul_floor), inputs)
+    t_floor = timed(matmul_floor)
 
     # ---- perm-fold layout: (K*B, L, D) batch, no vmap ----------------------
     def folded(memory, tgt_ids, perms, key):
@@ -232,10 +243,11 @@ def main():
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
     fold_j = jax.jit(folded)
-    t_fold = timed(fold_j, inputs)
+    t_fold = timed(folded)
     # numerical check vs the vmap path
-    a = float(nodrop(*inputs[0]))
-    b = float(fold_j(*inputs[0]))
+    b0 = batch(0)
+    a = float(nodrop(*b0))
+    b = float(fold_j(*b0))
 
     # ---- perm-fold WITH per-perm-independent dropout ------------------------
     # One decode over a (K*B) batch with a single rng key: every dropout site
@@ -268,7 +280,7 @@ def main():
             logp, tgt_safe[None, ..., None].repeat(K, 0), axis=-1)[..., 0]
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
-    t_folddrop = timed(jax.jit(folded_drop), inputs)
+    t_folddrop = timed(folded_drop)
 
     # ---- uint8 dropout bits: per-perm independent masks, half the RNG volume
     # Threshold compare on uint8 bits; drop prob quantized to thr/256 and the
@@ -287,8 +299,7 @@ def main():
     layers.dropout = dropout_u8
     parseq_mod.dropout = dropout_u8
     try:
-        prod_u8 = jax.jit(lambda m, t, p, k: loss_from_memory(m, t, p, k, cfg.dropout))
-        t_u8 = timed(prod_u8, inputs)
+        t_u8 = timed(lambda m, t, p, k: loss_from_memory(m, t, p, k, cfg.dropout))
     finally:
         layers.dropout = orig
         parseq_mod.dropout = orig

@@ -53,10 +53,11 @@ class PARSeqConfig:
     # One dropout-mask draw per site, shared by all K permutations, instead
     # of K independent draws (the reference's sequential decode calls each
     # draw fresh masks, system.py:181-186). The expected per-perm loss and
-    # gradient are identical and it saves 2.4 ms of the 7.3 ms
-    # decoder+head+loss piece at bs=96 — but the cross-perm mask
-    # correlation measurably hurts convergence: a 3-seed A/B at PARSeq-Ti
-    # scale (experiments/convergence_tpu.py, 1200 steps) gave
+    # gradient are identical and it saves 0.73 ms of the 3.29 ms
+    # decoder+head+loss piece at bs=96 (slope-timed, rbg keys; PERF.md
+    # round-3 decoder table) — but the cross-perm mask correlation
+    # measurably hurts convergence: a 3-seed A/B at PARSeq-Ti scale
+    # (experiments/convergence_tpu.py, 1200 steps) gave
     # shared 50.8/85.5/91.8% vs independent 55.9/87.9/94.9% val accuracy,
     # independent winning every seed with consistently lower train loss.
     # Default False = reference semantics; the flag stays as a documented
