@@ -304,8 +304,44 @@ def main():
         layers.dropout = orig
         parseq_mod.dropout = orig
 
+    # ---- bulk-bits dropout: one RngBitGenerator per site for all K perms
+    import dataclasses
+    cfg_bulk = dataclasses.replace(cfg, bulk_dropout_bits=True)
+
+    def loss_bulk(memory, tgt_ids, perms, key):
+        # multi_perm_loss minus the encoder: replicate its bulk-bits branch
+        tgt_in = tgt_ids[:, :-1]
+        tgt_out = tgt_ids[:, 1:]
+        padding_mask = (tgt_in == cfg.pad_id) | (tgt_in == cfg.eos_id)
+        cb, qb = jax.vmap(parseq.perm_attn_masks)(perms)
+
+        def decode_one(c, q, r):
+            out = parseq.decode(params, cfg_bulk, tgt_in, memory, query_bias=q,
+                                content_bias=c, padding_mask=padding_mask,
+                                dtype=dtype, drop=cfg.dropout, rng=r)
+            return parseq.head(params, out)
+
+        B_, Lq = tgt_in.shape
+        shapes = parseq.dropout_site_shapes(cfg_bulk, B_, Lq, memory.shape[1])
+        site_keys = list(jax.random.split(key, len(shapes)))
+        bits = [jax.random.bits(kk, (K, *s), jnp.uint16)
+                for kk, s in zip(site_keys, shapes)]
+        logits = jax.vmap(decode_one)(cb, qb, bits)
+        base_valid = tgt_out != cfg.pad_id
+        eos_pos = tgt_out == cfg.eos_id
+        k_idx = jnp.arange(K)[:, None, None]
+        valid = base_valid[None] & ((k_idx < 2) | ~eos_pos[None])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt_safe = jnp.clip(tgt_out, 0, cfg.num_classes - 1)
+        nll = -jnp.take_along_axis(
+            logp, tgt_safe[None, ..., None].repeat(K, 0), axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    t_bulk = timed(loss_bulk)
+
     print(f'bs={bs} K={K} L={L} (decoder+head+loss piece, memory precomputed)')
     print(f'  production (dropout on) : {t_prod:6.2f} ms')
+    print(f'  bulk-bits dropout       : {t_bulk:6.2f} ms')
     print(f'  shared masks across K   : {t_shared:6.2f} ms')
     print(f'  no dropout              : {t_nodrop:6.2f} ms')
     print(f'  decode only (no head/CE): {t_decode:6.2f} ms')

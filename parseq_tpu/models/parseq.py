@@ -63,6 +63,12 @@ class PARSeqConfig:
     # Default False = reference semantics; the flag stays as a documented
     # measured-rejected lever (PERF.md).
     shared_perm_dropout: bool = False
+    # Draw all K perms' dropout bits in ONE RngBitGenerator call per site
+    # outside the vmap instead of K per-perm calls inside it (which lower
+    # to serialized per-lane RNG ops). Identical independent-per-perm mask
+    # semantics — only the bit values differ from the keyed path. See
+    # dropout_site_shapes / PERF.md round-3 decoder table.
+    bulk_dropout_bits: bool = False
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6
@@ -167,19 +173,34 @@ def _rng_list(rng, n):
 def decoder_apply(p, query, content, memory, *, query_bias=None, content_bias=None,
                   padding_mask=None, nhead, drop=0.0, rng=None):
     """Stack of two-stream layers; content updated by all but the last layer
-    (modules.py:119-123). Final LayerNorm on the query stream."""
+    (modules.py:119-123). Final LayerNorm on the query stream.
+
+    `rng`: a PRNG key (split into per-site keys), or a flat list of
+    pregenerated per-site uint16 bits arrays in `dropout_site_shapes`
+    order (bulk-bits mode; the last layer's content stream has no sites)."""
     n_layers = len(p['layers'])
-    rngs = _rng_list(rng, n_layers * 12)
+    bulk = isinstance(rng, (list, tuple))
+    if bulk:
+        cur = list(rng)
+    else:
+        rngs = _rng_list(rng, n_layers * 12)
     for i, lp in enumerate(p['layers']):
         last = i == n_layers - 1
-        r = rngs[i * 12 : (i + 1) * 12]
+        if bulk:
+            r_q, cur = cur[:6], cur[6:]
+            r_c = [None] * 6
+            if not last:
+                r_c, cur = cur[:6], cur[6:]
+        else:
+            r = rngs[i * 12 : (i + 1) * 12]
+            r_q, r_c = r[:6], r[6:]
         query_norm = layer_norm(lp['norm_q'], query)
         content_norm = layer_norm(lp['norm_c'], content)
         query = _forward_stream(lp, query, query_norm, content_norm, memory,
-                                query_bias, padding_mask, nhead=nhead, drop=drop, rngs=r[:6])
+                                query_bias, padding_mask, nhead=nhead, drop=drop, rngs=r_q)
         if not last:
             content = _forward_stream(lp, content, content_norm, content_norm, memory,
-                                      content_bias, padding_mask, nhead=nhead, drop=drop, rngs=r[6:])
+                                      content_bias, padding_mask, nhead=nhead, drop=drop, rngs=r_c)
     return layer_norm(p['norm'], query)
 
 
@@ -200,21 +221,49 @@ def embed_context(params, cfg: PARSeqConfig, tgt_ids, dtype, *, drop=0.0, rng=No
 
 def decode(params, cfg: PARSeqConfig, tgt_ids, memory, *, query=None, query_bias=None,
            content_bias=None, padding_mask=None, dtype=jnp.float32, drop=0.0, rng=None):
-    """model.py:86-103: embed context, default query = pos_queries, run decoder."""
-    r = _rng_list(rng, 3)
-    content = embed_context(params, cfg, tgt_ids, dtype, drop=drop, rng=r[0])
+    """model.py:86-103: embed context, default query = pos_queries, run decoder.
+
+    `rng`: a PRNG key, or a flat list of pregenerated per-site uint16 bits
+    arrays in `dropout_site_shapes` order (bulk-bits mode)."""
+    if isinstance(rng, (list, tuple)):
+        r0, r1, rest = rng[0], rng[1], list(rng[2:])
+    else:
+        r = _rng_list(rng, 3)
+        r0, r1, rest = r[0], r[1], r[2]
+    content = embed_context(params, cfg, tgt_ids, dtype, drop=drop, rng=r0)
     if query is None:
         B, L = tgt_ids.shape
         query = jnp.broadcast_to(params['pos_queries'][:, :L].astype(dtype), (B, L, cfg.embed_dim))
-    query = dropout(query, drop, rng=r[1])
+    query = dropout(query, drop, rng=r1)
     return decoder_apply(params['decoder'], query, content, memory,
                          query_bias=query_bias, content_bias=content_bias,
                          padding_mask=padding_mask, nhead=cfg.dec_num_heads,
-                         drop=drop, rng=r[2])
+                         drop=drop, rng=rest)
 
 
 def head(params, x):
     return linear(params['head'], x)
+
+
+def dropout_site_shapes(cfg: PARSeqConfig, B, L, T):
+    """Ordered shapes of every dropout site one decode() call consumes in
+    bulk-bits mode: [context embed, query] then per layer the query
+    stream's 6 sites (self-attn probs, self out, cross probs, cross out,
+    MLP hidden, MLP out), plus the content stream's 6 for every non-last
+    layer (the last layer never updates content, modules.py:119-123)."""
+    h, D = cfg.dec_num_heads, cfg.embed_dim
+    dff = int(D * cfg.dec_mlp_ratio)
+
+    def stream():
+        return [(B, h, L, L), (B, L, D), (B, h, L, T), (B, L, D),
+                (B, L, dff), (B, L, D)]
+
+    shapes = [(B, L, D), (B, L, D)]
+    for i in range(cfg.dec_depth):
+        shapes += stream()
+        if i != cfg.dec_depth - 1:
+            shapes += stream()
+    return shapes
 
 
 def encode(params, cfg: PARSeqConfig, images):
@@ -562,6 +611,15 @@ def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=
         # all K perms (and the perm-independent content embedding hoists out
         # of the vmap). See PARSeqConfig.shared_perm_dropout.
         logits = jax.vmap(decode_one, in_axes=(0, 0, None))(content_bias, query_bias, rng)
+    elif cfg.bulk_dropout_bits and cfg.dropout > 0.0:
+        # One RngBitGenerator call per site for all K perms; vmap slices the
+        # leading K axis so each perm still gets independent masks.
+        B_, Lq = tgt_in.shape
+        shapes = dropout_site_shapes(cfg, B_, Lq, memory.shape[1])
+        site_keys = _rng_list(rng, len(shapes))
+        bits = [jax.random.bits(k, (K, *s), jnp.uint16)
+                for k, s in zip(site_keys, shapes)]
+        logits = jax.vmap(decode_one)(content_bias, query_bias, bits)
     else:
         rngs = _rng_list(rng, K)
         logits = jax.vmap(decode_one)(content_bias, query_bias, jnp.stack(rngs))

@@ -135,6 +135,12 @@ def dropout(x, rate, rng=None):
     bernoulli's f32-uniform path: half the generated-bits traffic and no
     int->float convert, with the drop probability exact to 2^-16
     (measured ~2 ms/step at PARSeq-S bs=384; dropout only needs iid bits).
+
+    `rng` may instead be a PREGENERATED uint16 bits array of x's shape:
+    RngBitGenerator lowers poorly under vmap (one serialized call per
+    lane), so callers that vmap dropout-bearing code can draw all lanes'
+    bits in one call outside and pass per-lane slices here (see
+    models/parseq.py multi_perm_loss bulk-bits path).
     """
     if rng is None or rate == 0.0:
         return x
@@ -144,7 +150,10 @@ def dropout(x, rate, rng=None):
         return jnp.zeros_like(x)
     keep = 1.0 - rate
     thr = min(int(round(rate * 65536.0)), 65535)
-    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    if getattr(rng, 'dtype', None) == jnp.uint16:
+        bits = rng
+    else:
+        bits = jax.random.bits(rng, x.shape, jnp.uint16)
     return jnp.where(bits >= thr, x / keep, 0).astype(x.dtype)
 
 

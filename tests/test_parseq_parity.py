@@ -198,6 +198,48 @@ def test_shared_perm_dropout_semantics():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bulk_dropout_bits():
+    """bulk_dropout_bits draws all K perms' masks in one RngBitGenerator
+    call per site (dropout_site_shapes order) instead of K per-perm calls
+    under the vmap. Identical independent-mask semantics: finite loss and
+    grads at dec_depth 1 and 2, bit-identical to the keyed path when
+    dropout is off, and site shapes match what decode() consumes."""
+    import dataclasses
+
+    import jax
+
+    for depth in (1, 2):
+        base = parseq.PARSeqConfig(num_tokens=13, max_label_length=5,
+                                   img_size=(16, 32), embed_dim=32,
+                                   enc_num_heads=2, enc_depth=1,
+                                   dec_num_heads=4, dec_depth=depth)
+        bulk = dataclasses.replace(base, bulk_dropout_bits=True)
+        nprng = np.random.default_rng(0)
+        params = parseq.init(jax.random.key(0), base)
+        im = jax.random.uniform(jax.random.key(3), (4, 16, 32, 3), jnp.float32)
+        tgt = jnp.asarray(nprng.integers(0, 12, (4, 7)), jnp.int32)
+        perms = jnp.asarray(parseq.gen_tgt_perms(nprng, base))
+        key = jax.random.key(7)
+
+        lb, numel = parseq.multi_perm_loss(params, bulk, im, tgt, perms, rng=key)
+        assert np.isfinite(float(lb))
+        g = jax.grad(lambda p: parseq.multi_perm_loss(
+            p, bulk, im, tgt, perms, rng=key)[0])(params)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+        # dropout off: bulk and keyed paths are bit-identical
+        a, _ = parseq.multi_perm_loss(
+            params, dataclasses.replace(base, dropout=0.0), im, tgt, perms, rng=key)
+        b, _ = parseq.multi_perm_loss(
+            params, dataclasses.replace(bulk, dropout=0.0), im, tgt, perms, rng=key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # site inventory: [embed, query] + 6 per stream, content stream
+        # skipped on the last layer
+        n_sites = len(parseq.dropout_site_shapes(bulk, 4, 6, 32))
+        assert n_sites == 2 + 6 * (2 * depth - 1)
+
+
 def test_ar_early_exit_matches_scan(twin_and_params, images):
     """while_loop early-exit AR decode decodes the same strings as full scan."""
     import jax
