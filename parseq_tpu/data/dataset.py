@@ -102,10 +102,15 @@ class LmdbDataset:
             label = self.labels[index]
             index = self.filtered_index_list[index]
         buf = self.reader.get(f'image-{index:09d}'.encode())
-        img = Image.open(io.BytesIO(buf)).convert('RGB')
         if self.transform is not None:
-            img = self.transform(img)
-        return img, label
+            if getattr(self.transform, 'accepts_bytes', False):
+                # decode inside the transform: enables the native JPEG
+                # decode+resize and real DCT-scaled (draft) decoding — an
+                # up-front convert('RGB') here would force a full decode
+                return self.transform(buf), label
+            img = Image.open(io.BytesIO(buf)).convert('RGB')
+            return self.transform(img), label
+        return Image.open(io.BytesIO(buf)).convert('RGB'), label
 
 
 class ConcatDataset:

@@ -21,10 +21,16 @@ TEST_ALL = tuple(set(TEST_BENCHMARK_SUB + TEST_BENCHMARK + TEST_NEW))
 
 
 def get_transform(img_size, augment=False, rotation=0, u8=False):
-    """PIL -> (H, W, 3) float32 in [-1, 1], reference pipeline order.
+    """PIL image OR raw encoded bytes -> model input, reference pipeline order.
 
-    ``u8=True`` (eval fast path): return resized uint8 instead and let the
-    device do the identical normalize — 4x less loader IPC + H2D traffic.
+    ``u8=True`` (eval fast path): return resized uint8 instead of f32 and
+    let the device do the identical normalize — 4x less loader IPC + H2D
+    traffic. Datasets pass RAW BYTES (transform.accepts_bytes) so decode
+    happens inside the transform: JPEG sources go through the native
+    decode+resize (bit-identical to the PIL path, 1.3-1.8x faster,
+    data/native/jpeg_decode.cpp) and PIL ``draft`` actually engages on the
+    fallback path (an up-front Image.convert would force a full-resolution
+    decode first).
     """
     aug = None
     if augment:
@@ -33,12 +39,27 @@ def get_transform(img_size, augment=False, rotation=0, u8=False):
         aug = rand_augment_transform()
 
     def transform(img):
+        if isinstance(img, (bytes, memoryview)):
+            if u8 and aug is None and rotation == 0:
+                from parseq_tpu.data.native import jpeg_decode_resize
+
+                arr = jpeg_decode_resize(img, img_size)
+                if arr is not None:
+                    return arr
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(bytes(img)))
+            if aug is not None:
+                img = img.convert('RGB')  # augment ops assume RGB
         if aug is not None:
             img = aug(img)
         if u8:
             return preprocess_pil_u8(img, img_size, rotation)
         return preprocess_pil(img, img_size, rotation)
 
+    transform.accepts_bytes = True
     return transform
 
 

@@ -252,6 +252,49 @@ def test_u8_eval_path_bit_identical():
     np.testing.assert_allclose(dev, f32, atol=1.3e-7)  # 1 ulp at |x|<=1
 
 
+def test_native_jpeg_decode_parity():
+    """Native decode+resize (data/native/jpeg_decode.cpp) is bit-identical
+    to the PIL path (open + draft + convert('RGB') + BICUBIC resize) on
+    RGB and grayscale JPEGs across sizes spanning the DCT-scaled-decode
+    thresholds; non-JPEG bytes return None (PIL fallback); the bytes-mode
+    transform routes through it."""
+    import io
+
+    from parseq_tpu.data.native import jpeg_decode_resize, load_jpeg
+    from parseq_tpu.data.transforms import preprocess_pil_u8
+
+    if load_jpeg() is None:
+        import pytest
+
+        pytest.skip('native JPEG decoder unavailable (no toolchain/libjpeg)')
+
+    rng = np.random.default_rng(3)
+    for w, h, mode in [(90, 28, 'RGB'), (100, 32, 'L'), (257, 65, 'RGB'),
+                       (256, 64, 'RGB'), (520, 130, 'L'), (1030, 260, 'RGB')]:
+        arr = rng.integers(0, 256, (h, w) if mode == 'L' else (h, w, 3),
+                           dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, 'JPEG', quality=85)
+        data = buf.getvalue()
+        native = jpeg_decode_resize(data, (32, 128))
+        assert native is not None and native.shape == (32, 128, 3)
+        ref = preprocess_pil_u8(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(native, ref)
+
+    # non-JPEG -> None
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (20, 40, 3), dtype=np.uint8)).save(buf, 'PNG')
+    assert jpeg_decode_resize(buf.getvalue(), (32, 128)) is None
+
+    # bytes-mode transform: JPEG through native, PNG through PIL fallback
+    t = get_transform((32, 128), u8=True)
+    assert getattr(t, 'accepts_bytes', False)
+    out = t(data)
+    np.testing.assert_array_equal(out, ref)
+    png_out = t(buf.getvalue())
+    assert png_out.shape == (32, 128, 3) and png_out.dtype == np.uint8
+
+
 def test_u8_loader_and_eval_dataset(tmp_path):
     """test_dataloaders default to uint8 batches; eval_dataset normalizes on
     device and scores identically to an f32 loader."""
