@@ -148,6 +148,9 @@ def test_read_cli_on_demo_images(tmp_path):
         [sys.executable, '-m', 'parseq_tpu.cli.read', str(ckpt), '--images', *demo],
         capture_output=True, text=True, cwd=Path(__file__).resolve().parents[1],
         env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'},
+        # during TPU-relay outages sitecustomize's backend registration can
+        # hang any fresh interpreter; fail visibly instead of hanging CI
+        timeout=900,
     )
     assert r.returncode == 0, r.stderr
     for p in demo:

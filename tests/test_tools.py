@@ -27,7 +27,7 @@ def test_create_and_filter_lmdb(tmp_path):
 
     out = tmp_path / 'db'
     r = subprocess.run([sys.executable, str(REPO / 'tools/create_lmdb_dataset.py'),
-                        str(imgs), str(gt), str(out)], capture_output=True, text=True)
+                        str(imgs), str(gt), str(out)], capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr
     with LmdbReader(out) as rd:
         assert int(rd.get(b'num-samples')) == 3
@@ -39,7 +39,7 @@ def test_create_and_filter_lmdb(tmp_path):
     filtered = tmp_path / 'db_filtered'
     r = subprocess.run([sys.executable, str(REPO / 'tools/filter_lmdb.py'),
                         str(out), '--output', str(filtered), '--min_image_dim', '8'],
-                       capture_output=True, text=True)
+                       capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr
     with LmdbReader(filtered) as rd:
         assert int(rd.get(b'num-samples')) == 2
@@ -49,7 +49,7 @@ def test_create_and_filter_lmdb(tmp_path):
 
 def _run_tool(name, *args):
     r = subprocess.run([sys.executable, str(REPO / 'tools' / name), *map(str, args)],
-                       capture_output=True, text=True)
+                       capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr
     return r.stdout
 
