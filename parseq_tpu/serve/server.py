@@ -121,15 +121,28 @@ class InferenceServer:
         return req.future
 
     def read_files(self, paths):
-        """Convenience: PIL decode + preprocess + submit; returns results."""
-        from PIL import Image
+        """Convenience: decode + preprocess + submit; returns results.
 
-        from parseq_tpu.data.transforms import preprocess_pil_u8
+        JPEGs go through the native decode+resize (bit-identical to the
+        PIL path, data/native/jpeg_decode.cpp); everything else via PIL."""
+        from parseq_tpu.data.native import jpeg_decode_resize
 
         futures = []
         for p in paths:
-            with Image.open(p) as img:
-                futures.append(self.submit(preprocess_pil_u8(img, self.bundle.img_size)))
+            arr = None
+            with open(p, 'rb') as f:
+                data = f.read()
+            arr = jpeg_decode_resize(data, self.bundle.img_size)
+            if arr is None:
+                import io
+
+                from PIL import Image
+
+                from parseq_tpu.data.transforms import preprocess_pil_u8
+
+                with Image.open(io.BytesIO(data)) as img:
+                    arr = preprocess_pil_u8(img, self.bundle.img_size)
+            futures.append(self.submit(arr))
         return [f.result() for f in futures]
 
     # -- internals ----------------------------------------------------------
