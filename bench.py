@@ -33,11 +33,12 @@ def make_batches(seed, n, batch_size, img_size):
     return batches
 
 
-def wait_for_device(max_wait_s=1500, probe_timeout_s=90):
-    """The axon relay has transient multi-minute outages (device ops hang
-    while its HTTP side stays up). Probe with a tiny matmul in a bounded
-    subprocess and wait for recovery so a driver-run bench doesn't record a
-    dead-relay failure as the round's number."""
+def wait_for_device(max_wait_s=5400, probe_timeout_s=90):
+    """The axon relay has transient outages (device ops hang while its HTTP
+    side stays up) — observed from minutes up to 4+ hours (round 3). Probe
+    with a tiny matmul in a bounded subprocess and wait for recovery so a
+    driver-run bench doesn't record a dead-relay failure as the round's
+    number."""
     import subprocess
     import sys
 
