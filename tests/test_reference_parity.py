@@ -14,8 +14,14 @@ Importable with the installed CPU torch (verified):
                                  path), attention LSTM decoder
   nltk.edit_distance             the reference NED metric (base.py:138)
 
+Importable with a minimal timm stub (the stub only satisfies the Encoder
+class definition; Encoder itself is never instantiated):
+  strhub.models.parseq.modules   Decoder / DecoderLayer / TokenEmbedding —
+                                 the flagship's two-stream decoder, tested
+                                 directly at depths 1 and 2
+
 NOT importable (documented, stays twin-based in the other test files):
-  strhub.models.parseq/* and vitstr (need timm), trba.model + abinet vision
+  the timm ViT encoder (parseq/vitstr), trba.model + abinet vision
   backbone (need torchvision), strhub.models.base (needs pytorch_lightning).
 """
 
@@ -387,3 +393,111 @@ def test_trba_attention_decoder_matches_reference():
     got = np.asarray(trba.attention_decode(p, cfg, jnp.asarray(batch_H)))
     np.testing.assert_allclose(got, want, atol=2e-5)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+# ------------------------------------------------- PARSeq two-stream decoder ---
+
+
+def _import_ref_parseq_modules():
+    """Import strhub.models.parseq.modules with a minimal timm stub.
+
+    timm is absent from this environment; the module only needs
+    timm.models.vision_transformer.{VisionTransformer, PatchEmbed} as the
+    ENCODER's base class / ctor default. The stub lets the module import so
+    the Decoder / DecoderLayer / TokenEmbedding classes — pure torch — are
+    testable directly; Encoder is never instantiated (it would need real
+    timm and is covered by the twin-based ViT parity tests instead)."""
+    import types
+
+    if 'timm.models.vision_transformer' not in sys.modules:
+        vt = types.ModuleType('timm.models.vision_transformer')
+
+        class VisionTransformer(torch.nn.Module):
+            pass
+
+        class PatchEmbed(torch.nn.Module):
+            pass
+
+        vt.VisionTransformer = VisionTransformer
+        vt.PatchEmbed = PatchEmbed
+        timm_mod = types.ModuleType('timm')
+        models_mod = types.ModuleType('timm.models')
+        models_mod.vision_transformer = vt
+        timm_mod.models = models_mod
+        sys.modules.setdefault('timm', timm_mod)
+        sys.modules.setdefault('timm.models', models_mod)
+        sys.modules['timm.models.vision_transformer'] = vt
+    import strhub.models.parseq.modules as ref_mod
+
+    return ref_mod
+
+
+def test_parseq_token_embedding_matches_reference():
+    """TokenEmbedding (parseq/modules.py:168-176): sqrt(d)-scaled lookup."""
+    import math
+
+    from parseq_tpu.ops import layers
+
+    ref_mod = _import_ref_parseq_modules()
+    emb = ref_mod.TokenEmbedding(13, 32).eval()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 13, (4, 6))
+    with torch.no_grad():
+        want = t2n(emb(torch.from_numpy(ids)))
+    w = {'w': jnp.asarray(t2n(emb.embedding.weight))}
+    got = np.asarray(math.sqrt(32) * layers.embedding(w, jnp.asarray(ids), jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize('depth', [1, 2])
+def test_parseq_decoder_matches_reference(depth):
+    """The reference's OWN two-stream Decoder (parseq/modules.py:27-126) vs
+    models/parseq.decoder_apply with converted weights, driven by the same
+    permutation masks + key padding. depth=2 exercises the content-stream
+    update path (update_content on all but the last layer)."""
+    from parseq_tpu.models.parseq import decoder_apply, perm_attn_masks
+
+    ref_mod = _import_ref_parseq_modules()
+    d, nhead, dff = 64, 4, 128
+    layer = ref_mod.DecoderLayer(d, nhead, dim_feedforward=dff, dropout=0.1)
+    dec = ref_mod.Decoder(layer, num_layers=depth,
+                          norm=torch.nn.LayerNorm(d)).eval()
+
+    sd = {f'decoder.{k}': v for k, v in dec.state_dict().items()}
+    dec_layers = []
+    for i in range(depth):
+        lp = f'decoder.layers.{i}'
+        dec_layers.append({
+            'self_attn': tc._mha(sd, f'{lp}.self_attn'),
+            'cross_attn': tc._mha(sd, f'{lp}.cross_attn'),
+            'linear1': tc._lin(sd, f'{lp}.linear1'),
+            'linear2': tc._lin(sd, f'{lp}.linear2'),
+            'norm1': tc._ln(sd, f'{lp}.norm1'),
+            'norm2': tc._ln(sd, f'{lp}.norm2'),
+            'norm_q': tc._ln(sd, f'{lp}.norm_q'),
+            'norm_c': tc._ln(sd, f'{lp}.norm_c'),
+        })
+    p_dec = {'layers': dec_layers, 'norm': tc._ln(sd, 'decoder.norm')}
+
+    B, Lq, T = 3, 7, 12
+    rng = np.random.default_rng(1)
+    query = rng.standard_normal((B, Lq, d)).astype(np.float32)
+    content = rng.standard_normal((B, Lq, d)).astype(np.float32)
+    memory = rng.standard_normal((B, T, d)).astype(np.float32)
+    perm = np.concatenate([[0], 1 + rng.permutation(Lq - 1), [Lq]])
+    cb, qb = perm_attn_masks(jnp.asarray(perm))
+    kp = rng.random((B, Lq)) < 0.25
+    kp[:, 0] = False  # BOS always visible: no fully-masked softmax rows
+
+    with torch.no_grad():
+        want = t2n(dec(torch.from_numpy(query), torch.from_numpy(content),
+                       torch.from_numpy(memory),
+                       query_mask=torch.from_numpy(np.asarray(qb)),
+                       content_mask=torch.from_numpy(np.asarray(cb)),
+                       content_key_padding_mask=torch.from_numpy(kp)))
+
+    got = np.asarray(decoder_apply(
+        p_dec, jnp.asarray(query), jnp.asarray(content), jnp.asarray(memory),
+        query_bias=qb, content_bias=cb, padding_mask=jnp.asarray(kp),
+        nhead=nhead, drop=0.0))
+    np.testing.assert_allclose(got, want, atol=2e-5)
