@@ -20,9 +20,14 @@ class definition; Encoder itself is never instantiated):
                                  the flagship's two-stream decoder, tested
                                  directly at depths 1 and 2
 
+Importable with a torchvision stub (canonical BasicBlock/conv1x1/conv3x3
+only; all backbone STRUCTURE is the reference's own code run as-is):
+  strhub.models.abinet.resnet    resnet45 (with its 1x1-conv1 override)
+  strhub.models.trba.feature_extraction  FAN ResNet feature extractor
+
 NOT importable (documented, stays twin-based in the other test files):
-  the timm ViT encoder (parseq/vitstr), trba.model + abinet vision
-  backbone (need torchvision), strhub.models.base (needs pytorch_lightning).
+  the timm ViT encoder (parseq/vitstr), strhub.models.base
+  (needs pytorch_lightning).
 """
 
 import sys
@@ -501,3 +506,132 @@ def test_parseq_decoder_matches_reference(depth):
         query_bias=qb, content_bias=cb, padding_mask=jnp.asarray(kp),
         nhead=nhead, drop=0.0))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ------------------------------------------- ResNet backbones (tv stubbed) ---
+
+
+def _stub_torchvision():
+    """Provide torchvision.models.resnet.{BasicBlock, conv1x1, conv3x3}.
+
+    torchvision is absent; these three are small, canonical definitions the
+    reference files import. Everything structural about the backbones —
+    layer counts, channel progressions, strides, pool placement, the
+    abinet 1x1/3x3 conv override — is the reference's OWN code run as-is;
+    only the standard block internals come from this stub."""
+    import types
+
+    if 'torchvision.models.resnet' in sys.modules:
+        return
+    nn = torch.nn
+
+    def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+        return nn.Conv2d(in_planes, out_planes, 3, stride=stride,
+                         padding=dilation, groups=groups, bias=False,
+                         dilation=dilation)
+
+    def conv1x1(in_planes, out_planes, stride=1):
+        return nn.Conv2d(in_planes, out_planes, 1, stride=stride, bias=False)
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            if norm_layer is None:
+                norm_layer = nn.BatchNorm2d
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    res = types.ModuleType('torchvision.models.resnet')
+    res.BasicBlock = BasicBlock
+    res.conv1x1 = conv1x1
+    res.conv3x3 = conv3x3
+    models_mod = types.ModuleType('torchvision.models')
+    models_mod.resnet = res
+    tv = types.ModuleType('torchvision')
+    tv.models = models_mod
+    sys.modules.setdefault('torchvision', tv)
+    sys.modules.setdefault('torchvision.models', models_mod)
+    sys.modules['torchvision.models.resnet'] = res
+
+
+def test_abinet_resnet45_matches_reference():
+    """The reference's OWN resnet45 (abinet/resnet.py:18-75, incl. its
+    1x1-conv1 BasicBlock override) vs models/abinet.resnet45 with converted
+    weights and diversified BN stats."""
+    _stub_torchvision()
+    from strhub.models.abinet.resnet import resnet45
+
+    from parseq_tpu.models import abinet
+
+    ref = resnet45()
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.randn(2, 3, 32, 128))
+    ref.eval()
+
+    sd = {f'r.{k}': v for k, v in ref.state_dict().items()}
+    p, s = tc._abinet_r45(sd, 'r')
+    x = np.random.randn(2, 3, 32, 128).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(x)))
+    got = abinet.resnet45(p, s, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    if isinstance(got, tuple):
+        got = got[0]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_trba_feature_extractor_matches_reference():
+    """The reference's OWN FAN ResNet feature extractor
+    (trba/feature_extraction.py:6-110) vs models/trba.resnet with converted
+    weights."""
+    _stub_torchvision()
+    from strhub.models.trba.feature_extraction import ResNet_FeatureExtractor
+
+    from parseq_tpu.models import trba
+
+    ref = ResNet_FeatureExtractor(3, 512)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.randn(2, 3, 32, 128))
+    ref.eval()
+
+    sd = {f'FeatureExtraction.{k}': v for k, v in ref.state_dict().items()}
+    cn = 'FeatureExtraction.ConvNet'
+    rn, rn_s = {}, {}
+    rn['stem1'], rn_s['stem1'] = tc._conv_bn(sd, f'{cn}.conv0_1', f'{cn}.bn0_1')
+    rn['stem2'], rn_s['stem2'] = tc._conv_bn(sd, f'{cn}.conv0_2', f'{cn}.bn0_2')
+    for name, n in [('layer1', 1), ('layer2', 2), ('layer3', 5), ('layer4', 3)]:
+        rn[name], rn_s[name] = tc._res_layer(sd, f'{cn}.{name}', n)
+    for name in ['conv1', 'conv2', 'conv3', 'conv4_1', 'conv4_2']:
+        rn[name], rn_s[name] = tc._conv_bn(
+            sd, f'{cn}.{name}', f'{cn}.bn{name.removeprefix("conv")}')
+
+    x = np.random.randn(2, 3, 32, 128).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(x)))
+    got = trba.resnet(rn, rn_s, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    if isinstance(got, tuple):
+        got = got[0]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)
