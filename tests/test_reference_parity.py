@@ -25,9 +25,12 @@ only; all backbone STRUCTURE is the reference's own code run as-is):
   strhub.models.abinet.resnet    resnet45 (with its 1x1-conv1 override)
   strhub.models.trba.feature_extraction  FAN ResNet feature extractor
 
+Importable with a pytorch_lightning stub (LightningModule-as-nn.Module):
+  strhub.models.base             _eval_step + _aggregate_results — the
+                                 eval scoring/aggregation protocol
+
 NOT importable (documented, stays twin-based in the other test files):
-  the timm ViT encoder (parseq/vitstr), strhub.models.base
-  (needs pytorch_lightning).
+  the timm ViT encoder (parseq/vitstr) — a faithful stub would BE a twin.
 """
 
 import sys
@@ -635,3 +638,124 @@ def test_trba_feature_extractor_matches_reference():
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+# --------------------------------------- eval protocol (lightning stubbed) ---
+
+
+def _import_ref_base():
+    """Import strhub.models.base with pytorch_lightning/timm.optim stubs.
+
+    The stubs provide only what class definition + _eval_step need
+    (LightningModule as an nn.Module with .device, STEP_OUTPUT alias,
+    an unused create_optimizer_v2 symbol); every line of eval-protocol
+    logic that runs is the reference's own."""
+    import types
+
+    _import_ref_parseq_modules()  # installs the timm package stub
+    timm_mod = sys.modules['timm']
+    if 'timm.optim' not in sys.modules:
+        optim_mod = types.ModuleType('timm.optim')
+
+        def create_optimizer_v2(*a, **k):
+            raise NotImplementedError('stub: configure_optimizers not under test')
+
+        optim_mod.create_optimizer_v2 = create_optimizer_v2
+        timm_mod.optim = optim_mod
+        sys.modules['timm.optim'] = optim_mod
+    if 'pytorch_lightning' not in sys.modules:
+        pl_mod = types.ModuleType('pytorch_lightning')
+
+        class LightningModule(torch.nn.Module):
+            @property
+            def device(self):
+                return torch.device('cpu')
+
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        pl_mod.LightningModule = LightningModule
+        util_mod = types.ModuleType('pytorch_lightning.utilities')
+        types_mod = types.ModuleType('pytorch_lightning.utilities.types')
+        types_mod.STEP_OUTPUT = dict
+        util_mod.types = types_mod
+        pl_mod.utilities = util_mod
+        sys.modules['pytorch_lightning'] = pl_mod
+        sys.modules['pytorch_lightning.utilities'] = util_mod
+        sys.modules['pytorch_lightning.utilities.types'] = types_mod
+    import strhub.models.base as ref_base
+
+    return ref_base
+
+
+def test_eval_protocol_matches_reference_base():
+    """BaseSystem._eval_step + _aggregate_results (base.py:112-164), the
+    reference's OWN scoring/aggregation code, vs train/evaluate.score_batch
+    + summarize on identical logits. Covers confidence = prod(probs),
+    charset-adapter-on-pred order, ICDAR-2019 NED, accuracy counting,
+    label_length, and epoch aggregation weighting. (The CE loss formula is
+    covered by the model-level logits_loss parity tests.)"""
+    import jax.nn
+
+    from parseq_tpu.train import evaluate as ev
+
+    ref_base = _import_ref_base()
+    charset = CHARSET_36
+    rng = np.random.default_rng(9)
+    B, L = 16, 26
+    C = len(charset) + 1  # chars + EOS, the model head's class count
+    labels = _random_labels(rng, charset, B, max_len=12, allow_empty=False)
+
+    logits = rng.normal(size=(B, L, C)).astype(np.float32)
+    logits[..., 0] += rng.normal(0.8, 1.5, size=(B, L))  # realistic EOS rate
+
+    class FakeCE(ref_base.CrossEntropySystem):
+        def forward(self, images, max_length=None):
+            t = torch.from_numpy(logits)
+            return t if max_length is None else t[:, : max_length + 1]
+
+    sys_ = FakeCE(charset, charset, 2, 1e-4, 0.1, 0.0)
+    images = torch.zeros(B, 3, 32, 128)
+
+    ours_tok = Tokenizer(charset)
+    ours_adapter = CharsetAdapter(charset)
+
+    # test-time protocol: full-length forward
+    want = sys_._eval_step((images, labels), False)['output']
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    got = ev.score_batch(ours_tok, ours_adapter, probs, labels)
+    assert (got.num_samples, got.correct, got.label_length) == (
+        want.num_samples, want.correct, want.label_length)
+    np.testing.assert_allclose(got.ned, want.ned, atol=1e-6)
+    np.testing.assert_allclose(got.confidence, want.confidence, atol=1e-5)
+
+    # validation protocol: batch-max-length slice (base.py:194-199)
+    want_v = sys_._eval_step((images, labels), True)['output']
+    max_len = max(len(lb) for lb in labels)
+    probs_v = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, : max_len + 1]), axis=-1))
+    got_v = ev.score_batch(ours_tok, ours_adapter, probs_v, labels)
+    assert (got_v.num_samples, got_v.correct) == (want_v.num_samples, want_v.correct)
+    np.testing.assert_allclose(got_v.ned, want_v.ned, atol=1e-6)
+    np.testing.assert_allclose(got_v.confidence, want_v.confidence, atol=1e-5)
+
+    # epoch aggregation: reference acc/ned vs our summarize() on the
+    # accumulated totals (same weighting: plain sums over samples).
+    # _aggregate_results is a validation-only path (loss must be set), so
+    # build a second validation batch with different labels.
+    labels2 = list(reversed(labels))
+    want_v2 = sys_._eval_step((images, labels2), True)['output']
+    max_len2 = max(len(lb) for lb in labels2)
+    probs_v2 = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, : max_len2 + 1]), axis=-1))
+    got_v2 = ev.score_batch(ours_tok, ours_adapter, probs_v2, labels2)
+
+    outputs = [dict(output=want_v), dict(output=want_v2)]
+    acc_ref, ned_ref, _ = ref_base.BaseSystem._aggregate_results(outputs)
+    total = ev.BatchResult()
+    total.add(got_v)
+    total.add(got_v2)
+    res = ev.summarize('x', total)
+    np.testing.assert_allclose(res.accuracy, 100.0 * acc_ref, atol=1e-9)
+    np.testing.assert_allclose(res.ned, 100.0 * ned_ref, atol=1e-6)
