@@ -56,12 +56,14 @@ def make_data(n, rng, vocab=None):
     return imgs, words, vocab
 
 
-def main(steps=1200, bs=128, eval_every=200, shared_perm_dropout=True, seed=0):
+def main(steps=1200, bs=128, eval_every=200, shared_perm_dropout=True, seed=0,
+         bulk_dropout_bits=False):
     rng = np.random.default_rng(seed)
     cfg = parseq.PARSeqConfig(
         num_tokens=len(CHARSET_36) + 3, max_label_length=MAXLEN,
         embed_dim=192, enc_num_heads=3, enc_depth=6, dec_num_heads=6,
         decode_ar=True, refine_iters=1, shared_perm_dropout=shared_perm_dropout,
+        bulk_dropout_bits=bulk_dropout_bits,
     )
     tok = Tokenizer(CHARSET_36)
     adapter = CharsetAdapter(CHARSET_36)
@@ -111,7 +113,16 @@ def main(steps=1200, bs=128, eval_every=200, shared_perm_dropout=True, seed=0):
 
 
 if __name__ == '__main__':
-    final = main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=1200)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--shared_perm_dropout', action='store_true')
+    ap.add_argument('--bulk_dropout_bits', action='store_true')
+    a = ap.parse_args()
+    final = main(steps=a.steps, seed=a.seed,
+                 shared_perm_dropout=a.shared_perm_dropout,
+                 bulk_dropout_bits=a.bulk_dropout_bits)
     print(f'FINAL val word accuracy: {final:.1f}%')
 
 
