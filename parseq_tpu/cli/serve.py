@@ -56,8 +56,15 @@ def make_handler(server, bundle):
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
-                img = Image.open(io.BytesIO(self.rfile.read(n)))
-                arr = preprocess_pil_u8(img, bundle.img_size)
+                data = self.rfile.read(n)
+                # JPEG: native decode+resize (bit-identical to the PIL path,
+                # data/native/jpeg_decode.cpp); anything else via PIL.
+                from parseq_tpu.data.native import jpeg_decode_resize
+
+                arr = jpeg_decode_resize(data, bundle.img_size)
+                if arr is None:
+                    img = Image.open(io.BytesIO(data))
+                    arr = preprocess_pil_u8(img, bundle.img_size)
             except Exception as e:  # noqa: BLE001 - bad input -> client error
                 self._json(400, {'error': f'{type(e).__name__}: {e}'})
                 return
