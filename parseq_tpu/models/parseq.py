@@ -67,8 +67,10 @@ class PARSeqConfig:
     # outside the vmap instead of K per-perm calls inside it (which lower
     # to serialized per-lane RNG ops). Identical independent-per-perm mask
     # semantics — only the bit values differ from the keyed path. See
-    # dropout_site_shapes / PERF.md round-3 decoder table.
-    bulk_dropout_bits: bool = False
+    # dropout_site_shapes / PERF.md round-3 decoder table. Measured on-chip
+    # (experiments/bulk_dropout_step_ab.py, slope-timed full production
+    # step): 98.1 vs 101.5 ms at bs=384 m=4 — default on.
+    bulk_dropout_bits: bool = True
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6
