@@ -9,9 +9,11 @@ batch-1 forward (AR + 1 refine, the reference latency protocol,
 compute per image, no dispatch/RTT terms. The relay-independent number a
 direct-attached deployment would see (plus its own sub-ms dispatch).
 
-Also reports batch-1 WITHOUT the fused AR kernel (exact scan path) and
-greedy NAR for the latency-floor variant the reference benchmarks as
-PARSeq-N.
+Also reports batch-1 WITHOUT the fused AR kernel (exact scan path),
+greedy NAR with refine_iters=0 (the latency floor), and NAR with
+refine_iters=3 — the exact protocol behind the reference's 14.87 ms GPU
+figure (README.md:214-219 runs bench.py with decode_ar=false
+refine_iters=3).
 """
 
 import os
@@ -46,15 +48,22 @@ def main():
         return jnp.sum(logits.astype(jnp.float32)) * 1e-6
 
     nar_cfg = dataclasses.replace(cfg, decode_ar=False, refine_iters=0)
+    nar3_cfg = dataclasses.replace(cfg, decode_ar=False, refine_iters=3)
 
     def body_nar(i, key):
         im = im0 * (1.0 + 0.001 * i.astype(jnp.float32))
         logits = parseq.forward(params, nar_cfg, im, dtype=jnp.bfloat16)
         return jnp.sum(logits.astype(jnp.float32)) * 1e-6
 
-    for name, body in [('AR+refine, fused kernel', body_fused),
-                       ('AR+refine, exact scan  ', body_scan),
-                       ('NAR (PARSeq-N protocol)', body_nar)]:
+    def body_nar3(i, key):
+        im = im0 * (1.0 + 0.001 * i.astype(jnp.float32))
+        logits = parseq.forward(params, nar3_cfg, im, dtype=jnp.bfloat16)
+        return jnp.sum(logits.astype(jnp.float32)) * 1e-6
+
+    for name, body in [('AR+refine, fused kernel       ', body_fused),
+                       ('AR+refine, exact scan         ', body_scan),
+                       ('NAR refine=0 (floor)          ', body_nar),
+                       ('NAR refine=3 (ref 14.87ms cfg)', body_nar3)]:
         t = slope_ms(body, n1=20, n2=80)
         print(f'batch-1 {name}: {t:6.2f} ms device', flush=True)
 

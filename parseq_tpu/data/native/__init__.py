@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import os
-import subprocess
 import threading
 from pathlib import Path
 
@@ -28,17 +26,6 @@ _jpeg_lib = None
 _jpeg_tried = False
 
 
-def _build() -> bool:
-    cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
-           str(_SRC), '-o', str(_SO)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError) as e:
-        log.info(f'native LMDB reader build failed ({e!r}); using Python reader')
-        return False
-
-
 def load():
     """-> ctypes CDLL with the parseq_lmdb_* symbols, or None."""
     global _lib, _tried
@@ -46,9 +33,10 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                return None
+        from parseq_tpu.utils.native_build import ensure_built
+        if not ensure_built(_SRC, _SO):
+            log.info('native LMDB reader unavailable; using Python reader')
+            return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError as e:
@@ -76,14 +64,10 @@ def load_jpeg():
         if _jpeg_lib is not None or _jpeg_tried:
             return _jpeg_lib
         _jpeg_tried = True
-        if not _JPEG_SO.exists() or _JPEG_SO.stat().st_mtime < _JPEG_SRC.stat().st_mtime:
-            cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                   str(_JPEG_SRC), '-o', str(_JPEG_SO), '-ljpeg']
-            try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError) as e:
-                log.info(f'native JPEG decoder build failed ({e!r}); using PIL')
-                return None
+        from parseq_tpu.utils.native_build import ensure_built
+        if not ensure_built(_JPEG_SRC, _JPEG_SO, extra_flags=('-O3', '-ljpeg')):
+            log.info('native JPEG decoder unavailable; using PIL')
+            return None
         try:
             lib = ctypes.CDLL(str(_JPEG_SO))
         except OSError as e:

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import subprocess
 import threading
 from pathlib import Path
 
@@ -32,14 +31,10 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
-                   str(_SRC), '-o', str(_SO)]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError) as e:
-                log.info(f'native editdist build failed ({e!r}); using Python DP')
-                return None
+        from parseq_tpu.utils.native_build import ensure_built
+        if not ensure_built(_SRC, _SO):
+            log.info('native editdist unavailable; using Python DP')
+            return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError as e:

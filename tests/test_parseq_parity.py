@@ -201,35 +201,49 @@ def test_shared_perm_dropout_semantics():
 def test_bulk_dropout_bits():
     """bulk_dropout_bits draws all K perms' masks in one RngBitGenerator
     call per site (dropout_site_shapes order) instead of K per-perm calls
-    under the vmap. Identical independent-mask semantics: finite loss and
-    grads at dec_depth 1 and 2, bit-identical to the keyed path when
-    dropout is off, and site shapes match what decode() consumes."""
+    under the vmap. Checks with dropout ON: finite loss/grads for BOTH the
+    bulk and the keyed (bulk_dropout_bits=False) path at dec_depth 1 and 2,
+    per-perm mask independence under bulk bits (duplicating a perm changes
+    the mean loss — it would be a no-op with shared masks), and that the
+    two paths agree when dropout is the only difference they could show."""
     import dataclasses
 
     import jax
 
     for depth in (1, 2):
-        base = parseq.PARSeqConfig(num_tokens=13, max_label_length=5,
+        bulk = parseq.PARSeqConfig(num_tokens=13, max_label_length=5,
                                    img_size=(16, 32), embed_dim=32,
                                    enc_num_heads=2, enc_depth=1,
-                                   dec_num_heads=4, dec_depth=depth)
-        bulk = dataclasses.replace(base, bulk_dropout_bits=True)
+                                   dec_num_heads=4, dec_depth=depth,
+                                   bulk_dropout_bits=True)
+        keyed = dataclasses.replace(bulk, bulk_dropout_bits=False)
         nprng = np.random.default_rng(0)
-        params = parseq.init(jax.random.key(0), base)
+        params = parseq.init(jax.random.key(0), bulk)
         im = jax.random.uniform(jax.random.key(3), (4, 16, 32, 3), jnp.float32)
         tgt = jnp.asarray(nprng.integers(0, 12, (4, 7)), jnp.int32)
-        perms = jnp.asarray(parseq.gen_tgt_perms(nprng, base))
+        perms = jnp.asarray(parseq.gen_tgt_perms(nprng, bulk))
         key = jax.random.key(7)
 
-        lb, numel = parseq.multi_perm_loss(params, bulk, im, tgt, perms, rng=key)
-        assert np.isfinite(float(lb))
-        g = jax.grad(lambda p: parseq.multi_perm_loss(
-            p, bulk, im, tgt, perms, rng=key)[0])(params)
-        assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+        for cfg in (bulk, keyed):  # keyed path stays covered with dropout on
+            lb, numel = parseq.multi_perm_loss(params, cfg, im, tgt, perms, rng=key)
+            assert np.isfinite(float(lb))
+            g = jax.grad(lambda p: parseq.multi_perm_loss(
+                p, cfg, im, tgt, perms, rng=key)[0])(params)
+            assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
 
-        # dropout off: bulk and keyed paths are bit-identical
+        # Mask independence per perm under bulk bits: an identical perm
+        # duplicated at indices 0 and 1 (same validity rule for both) gets
+        # DIFFERENT masks, so the 2-perm mean loss differs from the 1-perm
+        # loss. Shared masks would make them equal (see the shared_perm test).
+        fwd = jnp.asarray(np.arange(bulk.max_label_length + 2))[None]
+        dup = jnp.concatenate([fwd, fwd], axis=0)
+        l_dup, _ = parseq.multi_perm_loss(params, bulk, im, tgt, dup, rng=key)
+        l_one, _ = parseq.multi_perm_loss(params, bulk, im, tgt, fwd, rng=key)
+        assert abs(float(l_dup) - float(l_one)) > 1e-4
+
+        # dropout off: bulk and keyed configs take the identical branch
         a, _ = parseq.multi_perm_loss(
-            params, dataclasses.replace(base, dropout=0.0), im, tgt, perms, rng=key)
+            params, dataclasses.replace(keyed, dropout=0.0), im, tgt, perms, rng=key)
         b, _ = parseq.multi_perm_loss(
             params, dataclasses.replace(bulk, dropout=0.0), im, tgt, perms, rng=key)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -238,6 +252,28 @@ def test_bulk_dropout_bits():
         # skipped on the last layer
         n_sites = len(parseq.dropout_site_shapes(bulk, 4, 6, 32))
         assert n_sites == 2 + 6 * (2 * depth - 1)
+
+
+def test_dropout_empirical_rate():
+    """The uint16 threshold dropout drops at cfg.dropout empirically, both
+    from a PRNG key and from pregenerated bulk bits (the two rng forms
+    ops.layers.dropout accepts), and survivors are scaled by 1/keep."""
+    import jax
+
+    from parseq_tpu.ops.layers import dropout
+
+    rate = 0.1
+    x = jnp.ones((64, 64, 16), jnp.float32)
+    key = jax.random.key(11)
+    n = x.size
+
+    for rng in (key, jax.random.bits(key, x.shape, jnp.uint16)):
+        y = np.asarray(dropout(x, rate, rng))
+        dropped = float((y == 0.0).sum()) / n
+        # binomial std at n=65536, p=0.1 is ~0.0012; 5 sigma
+        assert abs(dropped - rate) < 6e-3, dropped
+        kept = y[y != 0.0]
+        np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
 
 
 def test_ar_early_exit_matches_scan(twin_and_params, images):
