@@ -50,9 +50,21 @@ def get_transform(img_size, augment=False, rotation=0, u8=False):
 
             from PIL import Image
 
-            img = Image.open(io.BytesIO(bytes(img)))
             if aug is not None:
-                img = img.convert('RGB')  # augment ops assume RGB
+                # Training path: augment needs the FULL-RES image (reference
+                # transform order, module.py:68-82), so the fused
+                # decode+resize above doesn't apply — use the native full-res
+                # decode (bit-identical to PIL, 2.8x faster; PIL fallback for
+                # PNG/CMYK) and wrap for the PIL-based augment ops.
+                from parseq_tpu.data.native import jpeg_decode
+
+                arr = jpeg_decode(img)
+                if arr is not None:
+                    img = Image.fromarray(arr)
+                else:
+                    img = Image.open(io.BytesIO(bytes(img))).convert('RGB')
+            else:
+                img = Image.open(io.BytesIO(bytes(img)))
         if aug is not None:
             img = aug(img)
         if u8:
@@ -92,7 +104,7 @@ class SceneTextDataModule:
                 PurePath(self.root_dir, 'train', self.train_dir),
                 self.charset_train, self.max_label_length, self.min_image_dim,
                 self.remove_whitespace, self.normalize_unicode,
-                transform=get_transform(self.img_size, self.augment),
+                transform=get_transform(self.img_size, self.augment, u8=True),
             )
         return self._train_dataset
 
@@ -103,7 +115,7 @@ class SceneTextDataModule:
                 PurePath(self.root_dir, 'val'),
                 self.charset_test, self.max_label_length, self.min_image_dim,
                 self.remove_whitespace, self.normalize_unicode,
-                transform=get_transform(self.img_size),
+                transform=get_transform(self.img_size, u8=True),
             )
         return self._val_dataset
 

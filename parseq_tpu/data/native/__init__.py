@@ -81,6 +81,13 @@ def load_jpeg():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p]
         lib.parseq_bicubic_u8.restype = None
+        lib.parseq_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.parseq_jpeg_dims.restype = ctypes.c_int
+        lib.parseq_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+        lib.parseq_jpeg_decode.restype = ctypes.c_int
         _jpeg_lib = lib
         return _jpeg_lib
 
@@ -104,6 +111,52 @@ def jpeg_decode_resize(data, img_size=(32, 128), fast_decode=True):
         data, len(data), w, h, int(bool(fast_decode)),
         out.ctypes.data_as(ctypes.c_char_p))
     return out if rc == 0 else None
+
+
+def jpeg_decode(data):
+    """JPEG bytes -> full-resolution (H, W, 3) uint8 RGB, or None.
+
+    TRAINING-path decode: RandAugment must see the full-resolution image
+    before any resize (reference transform order, strhub/data/module.py:
+    68-82), so the fused decode+resize above doesn't apply. Decode bytes are
+    identical to PIL's (same libjpeg-turbo); grayscale sources come back as
+    replicated-channel RGB exactly like Image.convert('RGB')."""
+    lib = load_jpeg()
+    if lib is None:
+        return None
+    import numpy as np
+
+    data = bytes(data)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.parseq_jpeg_dims(data, len(data), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.parseq_jpeg_decode(data, len(data),
+                                out.ctypes.data_as(ctypes.c_char_p))
+    return out if rc == 0 else None
+
+
+def bicubic_resize_u8(arr, img_size=(32, 128)):
+    """(H, W, 3) uint8 RGB -> PIL-exact bicubic resize to img_size, or None.
+
+    Same fixed-point resample kernel the fused decode path uses
+    (jpeg_decode.cpp resample), exposed for arrays already in memory —
+    e.g. post-augment training images."""
+    lib = load_jpeg()
+    if lib is None:
+        return None
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        return None
+    in_h, in_w = arr.shape[:2]
+    h, w = img_size
+    out = np.empty((h, w, 3), np.uint8)
+    lib.parseq_bicubic_u8(arr.ctypes.data_as(ctypes.c_char_p), in_w, in_h,
+                          w, h, out.ctypes.data_as(ctypes.c_char_p))
+    return out
 
 
 class NativeLmdbReader:

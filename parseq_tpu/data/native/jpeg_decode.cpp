@@ -209,4 +209,68 @@ void parseq_bicubic_u8(const unsigned char* in, int in_w, int in_h,
     resample(in, in_w, in_h, out_w, out_h, out);
 }
 
+// Header-only probe: full-resolution dimensions of a JPEG stream.
+// Returns 0 and fills (*w, *h) on success; nonzero on parse error or a
+// color space the decode path would reject (caller falls back to PIL).
+int parseq_jpeg_dims(const unsigned char* data, size_t len, int* w, int* h) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, len);
+    jpeg_read_header(&cinfo, TRUE);
+    if (cinfo.jpeg_color_space == JCS_CMYK || cinfo.jpeg_color_space == JCS_YCCK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
+    *w = static_cast<int>(cinfo.image_width);
+    *h = static_cast<int>(cinfo.image_height);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Full-resolution decode into a caller buffer of W*H*3 bytes (from
+// parseq_jpeg_dims), RGB interleaved — the TRAINING-path entry, where
+// RandAugment must see the full-resolution image before any resize
+// (reference transform order, strhub/data/module.py:68-82), so the fused
+// decode+resize above doesn't apply. Same fallback contract: 0 = ok,
+// 1 = decode error, 2 = unsupported color space.
+int parseq_jpeg_decode(const unsigned char* data, size_t len,
+                       unsigned char* out) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, len);
+    jpeg_read_header(&cinfo, TRUE);
+    if (cinfo.jpeg_color_space == JCS_CMYK || cinfo.jpeg_color_space == JCS_YCCK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    if (cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
+    const int w = static_cast<int>(cinfo.output_width);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
 }  // extern "C"

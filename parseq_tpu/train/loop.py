@@ -26,9 +26,9 @@ from parseq_tpu.data.module import SceneTextDataModule
 from parseq_tpu.ops import ctc as ctc_ops
 from parseq_tpu.parallel import global_batch, make_mesh, replicate
 from parseq_tpu.train import optim
-from parseq_tpu.train.evaluate import BatchResult, score_decoded, summarize
+from parseq_tpu.train.evaluate import BatchResult, _normalize_u8, score_decoded, summarize
 from parseq_tpu.train.families import get_family
-from parseq_tpu.train.steps import make_train_step
+from parseq_tpu.train.steps import make_train_step, normalize_images
 from parseq_tpu.utils.checkpoint import save_checkpoint, save_topk
 from parseq_tpu.utils.registry import create_model
 
@@ -314,9 +314,12 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             if n_procs > 1:
                 lb = B // n_procs
                 local = images[jax.process_index() * lb:(jax.process_index() + 1) * lb]
-                logits = fwd(_maybe_flatten(tree), global_batch(local, mesh))
+                x = global_batch(local, mesh)
             else:
-                logits = fwd(_maybe_flatten(tree), jnp.asarray(images))
+                x = jnp.asarray(images)
+            if x.dtype == jnp.uint8:  # u8 loader transport; same op order
+                x = _normalize_u8(x)
+            logits = fwd(_maybe_flatten(tree), x)
             ids, conf, loss, numel = jax.device_get(val_post(logits, labels, B))
             preds, pred_probs = tok.decode_ids(ids, conf)
             total.add(score_decoded(bundle.charset_adapter, preds, pred_probs,
@@ -430,7 +433,8 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
             # with momentum-0.1 EMA leaves <0.01% of the stale stats after
             # ~100 batches.
             def stats_step(params, stats, batch, rng):
-                _, new_stats, _ = family.loss(params, stats, cfg, batch, rng,
+                _, new_stats, _ = family.loss(params, stats, cfg,
+                                              normalize_images(batch), rng,
                                               compute_dtype)
                 return new_stats
 

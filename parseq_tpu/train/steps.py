@@ -17,6 +17,21 @@ import jax
 import jax.numpy as jnp
 
 
+def normalize_images(batch):
+    """uint8 images -> f32 in [-1, 1] on device (no-op for float input).
+
+    The training loader ships uint8 batches (4x less worker IPC + H2D than
+    f32 — measured 56k vs 2.9k img/s pool roundtrip on the 1-core host,
+    experiments/train_datapath_decomposition.py) and this normalize runs
+    inside the jitted step with the exact host op order ((x/255 - .5)/.5,
+    reference module.py:80-81), so values are bit-identical to f32 transport.
+    """
+    img = batch['images']
+    if img.dtype == jnp.uint8:
+        batch = dict(batch, images=(img.astype(jnp.float32) / 255.0 - 0.5) / 0.5)
+    return batch
+
+
 def make_train_step(family, cfg, tx, compute_dtype=jnp.bfloat16, microbatches=1,
                     **static):
     """family: train.families.TrainFamily. Returns
@@ -34,7 +49,8 @@ def make_train_step(family, cfg, tx, compute_dtype=jnp.bfloat16, microbatches=1,
     """
 
     def loss_fn(params, stats, batch, rng):
-        loss, new_stats, numel = family.loss(params, stats, cfg, batch, rng,
+        loss, new_stats, numel = family.loss(params, stats, cfg,
+                                             normalize_images(batch), rng,
                                              compute_dtype, **static)
         return loss, (new_stats, numel)
 

@@ -331,3 +331,44 @@ def test_u8_loader_and_eval_dataset(tmp_path):
     assert r_u8.accuracy == r_f32.accuracy
     # the 1-ulp input skew (FMA-fused normalize) propagates to confidence
     np.testing.assert_allclose(r_u8.confidence, r_f32.confidence, rtol=1e-5)
+
+
+def test_train_transform_u8_native_parity():
+    """The TRAINING transform (augment on, u8=True — the train_dataset
+    default) produces values identical to the f32 path after device
+    normalize: native full-res decode is bit-equal to PIL's, augment sees
+    the same RGB image, and (x/255-.5)/.5 on u8 equals the host f32 math."""
+    import random
+
+    import jax.numpy as jnp
+
+    from parseq_tpu.data.native import jpeg_decode, load_jpeg
+    from parseq_tpu.train.evaluate import _normalize_u8
+
+    rng = np.random.default_rng(7)
+    datas = []
+    for w, h, mode in [(90, 28, 'RGB'), (120, 40, 'L')]:
+        arr = rng.integers(0, 256, (h, w) if mode == 'L' else (h, w, 3),
+                           dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, 'JPEG', quality=85)
+        datas.append(buf.getvalue())
+    datas.append(_png_bytes())  # PIL-fallback route
+
+    if load_jpeg() is not None:
+        pil = np.asarray(Image.open(io.BytesIO(datas[0])).convert('RGB'))
+        np.testing.assert_array_equal(jpeg_decode(datas[0]), pil)
+        gray = np.asarray(Image.open(io.BytesIO(datas[1])).convert('RGB'))
+        np.testing.assert_array_equal(jpeg_decode(datas[1]), gray)
+        assert jpeg_decode(datas[2]) is None  # PNG -> fallback
+
+    t_u8 = get_transform((32, 128), augment=True, u8=True)
+    t_f32 = get_transform((32, 128), augment=True)
+    for data in datas:
+        random.seed(11); np.random.seed(11)
+        out_u8 = t_u8(data)
+        random.seed(11); np.random.seed(11)
+        out_f32 = t_f32(data)
+        assert out_u8.dtype == np.uint8
+        dev = np.asarray(_normalize_u8(jnp.asarray(out_u8[None])))[0]
+        np.testing.assert_allclose(dev, out_f32, atol=1.3e-7)  # 1 ulp
