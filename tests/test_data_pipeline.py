@@ -372,3 +372,29 @@ def test_train_transform_u8_native_parity():
         assert out_u8.dtype == np.uint8
         dev = np.asarray(_normalize_u8(jnp.asarray(out_u8[None])))[0]
         np.testing.assert_allclose(dev, out_f32, atol=1.3e-7)  # 1 ulp
+
+
+def test_poisson_lut_distribution():
+    """The LUT Poisson sampler (augment.poisson_noise) matches the exact
+    Poisson distribution: mean/variance within sampling error and total
+    variation distance <= ~2^-16 by construction."""
+    from parseq_tpu.data.augment import _poisson_lut
+
+    for lam in (1, 5, 20):
+        lut = _poisson_lut(lam)
+        # exact pmf for comparison
+        p = np.exp(-float(lam))
+        pmf = [p]
+        for k in range(1, len(np.unique(lut)) + 32):
+            p *= lam / k
+            pmf.append(p)
+        pmf = np.asarray(pmf)
+        counts = np.bincount(lut, minlength=len(pmf)) / 65536.0
+        m = min(len(counts), len(pmf))
+        tv = 0.5 * np.abs(counts[:m] - pmf[:m]).sum()
+        assert tv < 3e-4, (lam, tv)
+        # sampled moments
+        np.random.seed(0)
+        s = lut[np.random.randint(0, 65536, 200_000, np.uint16)]
+        assert abs(s.mean() - lam) < 0.05 * lam + 0.05
+        assert abs(s.var() - lam) < 0.08 * lam + 0.1
