@@ -83,7 +83,10 @@ def main():
 
     names = make_suite(args.root, n_per=args.n_per)
     print('suite built')
-    for u8, nw, g in [(False, 0, 1), (True, 0, 1), (True, 0, 4), (True, 0, 8)]:
+    # round 4: sweep fetch_group past 4 + whole-dataset device-side
+    # accumulation (one fetch per benchmark set) — VERDICT r3 item 4.
+    for u8, nw, g in [(False, 0, 1), (True, 0, 1), (True, 0, 4), (True, 0, 8),
+                      (True, 0, 16), (True, 0, 32), (True, 0, 'dataset')]:
         rate, n = run_eval(args.root, names, u8, nw, fetch_group=g)
         print(f'u8={int(u8)} workers={nw} group={g}: {rate:7.0f} img/s over {n} samples', flush=True)
 

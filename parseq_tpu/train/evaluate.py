@@ -100,7 +100,7 @@ def _device_post(logits):
 
 
 def eval_dataset(model, loader, name='val', forward=None, depth=8,
-                 fetch_group=4) -> Result:
+                 fetch_group='dataset') -> Result:
     """Run a ModelBundle over a loader; returns the aggregated Result.
 
     Pipelined: keeps up to `depth` batches in flight so device compute and
@@ -109,10 +109,16 @@ def eval_dataset(model, loader, name='val', forward=None, depth=8,
     round-trip latency each time — ~15x slower through the axon relay).
     Device-side post-processing (softmax/argmax/gather under jit) shrinks
     the fetched result from the (B, L, C) distribution to ids + picked
-    probs, and results are fetched `fetch_group` batches at a time through a
-    device-side stack — one round trip per group instead of per batch (the
-    relay RTT, not bytes, dominates small fetches; measured in
-    experiments/eval_throughput.py).
+    probs.
+
+    fetch_group='dataset' (default): every batch's (ids, conf) stays
+    resident on device until the loader is exhausted, then ONE concatenated
+    fetch moves the whole dataset's results — a benchmark set is only
+    ~100s of KB, so a single transfer beats dozens of per-group round trips
+    (relay RTT0 ~13-42 ms dominates small fetches; sweep in
+    experiments/eval_relay_sweep.py). An integer fetch_group restores
+    grouped draining every `depth` batches (bounded device result memory —
+    use for very large datasets or tiny-memory configs).
     """
     import collections
 
@@ -122,9 +128,10 @@ def eval_dataset(model, loader, name='val', forward=None, depth=8,
     post = _device_post
     total = BatchResult()
     inflight = collections.deque()
+    whole = fetch_group == 'dataset'
 
     def drain_group():
-        take = max(1, min(fetch_group, len(inflight)))
+        take = len(inflight) if whole else max(1, min(fetch_group, len(inflight)))
         items = [inflight.popleft() for _ in range(take)]
         if take == 1:
             ids, conf = jax.device_get(items[0][0])
@@ -146,7 +153,7 @@ def eval_dataset(model, loader, name='val', forward=None, depth=8,
         if images.dtype == np.uint8:
             images = _normalize_u8(images)
         inflight.append((post(fwd(images)), labels, valid))
-        if len(inflight) >= depth:
+        if not whole and len(inflight) >= depth:
             drain_group()
     while inflight:
         drain_group()
