@@ -113,12 +113,27 @@ def patch_embed(p, images, cfg: ViTConfig):
     the (B, gh, ph*W*C) row-group view was also measured and is slower —
     7.9 vs 6.8 ms at 224x224 — because the (ph*W*C, gw*D) weight expansion
     is rebuilt per call.)
+
+    For LARGE patches (ViTSTR's 16x16: patch_dim = 768), XLA's own
+    stride==kernel conv lowering beats the row-accumulation: ~0 vs 2.4 ms
+    at 224x224 B=256 (experiments/vitstr_decomposition.py — the conv
+    overlaps fully with adjacent work). At PARSeq's 4x8 geometry
+    (patch_dim 96) the two are equal within noise, so the conv path is
+    gated on patch_dim to leave the proven small-patch path untouched.
     """
     B, H, W, C = images.shape
     ph, pw = cfg.patch_size
     gh, gw = H // ph, W // pw
     D = cfg.embed_dim
     k = pw * C
+
+    if ph * k >= 192:  # large patches: conv lowering wins (see docstring)
+        w = p['w'].astype(images.dtype).reshape(ph, pw, C, D)
+        out = jax.lax.conv_general_dilated(
+            images, w, window_strides=(ph, pw), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        out = out + p['b'].astype(out.dtype)
+        return out.reshape(B, gh * gw, D)
 
     x = images.reshape(B, gh, ph, gw, k)                   # pure reshape
     w = p['w'].astype(images.dtype).reshape(ph, k, D)

@@ -175,15 +175,18 @@ def _ns_bwd(num_heads, scale, res, g):
 fused_attention_nosplit.defvjp(_ns_fwd, _ns_bwd)
 
 
-# Kernel toggle. Measured on v5e-1, PARSeq-S encoder, batch 256 (pipelined):
-#   einsum path          20.4 ms / batch
-#   kernel v1 (head-split layout + transposes)   regressed end-to-end
-#   kernel v2 (no-split)  24.1 ms / batch
-# Standalone, the kernel beats a standalone einsum attention by >10x, but
-# in-model XLA fuses the einsum chain well enough that the pallas call (an
-# optimization barrier) loses. Keeping the kernel for future block-level
-# fusion work; default off.
+# Kernel gate. Measured on v5e-1, batch 256 (pipelined / slope-timed):
+#   PARSeq encoder, L=128:  einsum 20.4 ms/batch, no-split kernel 24.1
+#     -> XLA's fused einsum chain wins at short L; kernel off.
+#   ViTSTR encoder, L=197:  12-block scan einsum 33.5 ms, kernel 21.3;
+#     single sublayer 1.54 vs 0.85 ms (experiments/vitstr_attention_ab.py)
+#     -> the einsum path's materialized (B, h, L, L) f32 scores pad the
+#        minor (key) dim to 256 lanes, so every L in 129..256 pays L=256's
+#        HBM traffic; the kernel keeps scores in VMEM. Kernel on.
+# The crossover is gated on L: einsum below KERNEL_MIN_LEN, kernel at or
+# above it. USE_KERNEL=True forces the kernel everywhere (experiments).
 USE_KERNEL = False
+KERNEL_MIN_LEN = 192
 
 
 def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
@@ -197,9 +200,11 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     #   separate q/k/v projections + einsum attention (this path)   20.4
     #   merged (D,3D) qkv matmul + einsum attention                 23.5
     #   merged qkv + pallas no-split kernel                         24.1
-    # XLA's default lowering wins; local rewrites that looked like
-    # bandwidth savings all measured slower.
-    use_kernel = USE_KERNEL if use_kernel is None else use_kernel
+    # XLA's default lowering wins at L=128; local rewrites that looked
+    # like bandwidth savings all measured slower. At L >= KERNEL_MIN_LEN
+    # the padded-score traffic flips the balance (see gate above).
+    if use_kernel is None:
+        use_kernel = USE_KERNEL or x.shape[1] >= KERNEL_MIN_LEN
     if not use_kernel or jax.default_backend() == 'cpu':
         if USE_FLASH_BWD and jax.default_backend() == 'tpu':
             return _mha_flashbwd(p, x, num_heads)

@@ -67,3 +67,24 @@ def test_vitstr_registry():
     imgs = np.zeros((2, 32, 32, 3), np.float32)
     labels, conf = m.read(imgs)
     assert len(labels) == 2
+
+
+def test_patchify_conv_equals_row_accum():
+    """The large-patch conv patchify (patch_dim >= 192 gate in
+    vit.patch_embed) must match the row-accumulation path bit-for-bit in
+    semantics (same flattened-patch matmul, f32)."""
+    from parseq_tpu.models import vit
+
+    cfg = vit.ViTConfig(img_size=(32, 64), patch_size=(16, 16), embed_dim=48)
+    assert 16 * 16 * 3 >= 192  # conv gate engaged for this config
+    p = vit.init(jax.random.key(0), cfg)['patch_embed']
+    img = jax.random.normal(jax.random.key(1), (3, 32, 64, 3), jnp.float32)
+    got = vit.patch_embed(p, img, cfg)
+
+    B, H, W, C = img.shape
+    ph, pw = cfg.patch_size
+    gh, gw = H // ph, W // pw
+    # ground truth: explicit (ph, pw, C)-ordered patch flatten + matmul
+    ref = img.reshape(B, gh, ph, gw, pw, C).transpose(0, 1, 3, 2, 4, 5)
+    ref = ref.reshape(B, gh * gw, ph * pw * C) @ p['w'] + p['b']
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
