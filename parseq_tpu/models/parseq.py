@@ -71,6 +71,14 @@ class PARSeqConfig:
     # (experiments/bulk_dropout_step_ab.py, slope-timed full production
     # step): 98.1 vs 101.5 ms at bs=384 m=4 — default on.
     bulk_dropout_bits: bool = True
+    # Bulk bits as uint8 instead of uint16: half the bits HBM traffic.
+    # The drop probability quantizes to round(p*256)/256 (0.1 -> 0.1016)
+    # with the survivor scale using the quantized keep rate, so inverted
+    # dropout stays exactly unbiased — but the rate itself deviates ~1.6%
+    # relative from the reference's exact p, hence flag-gated and default
+    # off pending a measured win that justifies it
+    # (experiments/dropout_fusion_levers.py).
+    bulk_bits_uint8: bool = False
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6
@@ -619,7 +627,8 @@ def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=
         B_, Lq = tgt_in.shape
         shapes = dropout_site_shapes(cfg, B_, Lq, memory.shape[1])
         site_keys = _rng_list(rng, len(shapes))
-        bits = [jax.random.bits(k, (K, *s), jnp.uint16)
+        bits_dtype = jnp.uint8 if cfg.bulk_bits_uint8 else jnp.uint16
+        bits = [jax.random.bits(k, (K, *s), bits_dtype)
                 for k, s in zip(site_keys, shapes)]
         logits = jax.vmap(decode_one)(content_bias, query_bias, bits)
     else:

@@ -148,6 +148,14 @@ def dropout(x, rate, rng=None):
         # everything dropped; the threshold compare below would wrap
         # (round(1.0*65536) = 65536 -> 0 in uint16) and keep everything at 1/0.
         return jnp.zeros_like(x)
+    if getattr(rng, 'dtype', None) == jnp.uint8:
+        # Pregenerated uint8 bits (half the bits traffic of uint16). The
+        # drop probability quantizes to thr/256 and the inverse scale uses
+        # the QUANTIZED keep rate, so inverted dropout stays exactly
+        # unbiased (rate 0.1 -> effective 0.1016).
+        thr8 = min(int(round(rate * 256.0)), 255)
+        keep_q = 1.0 - thr8 / 256.0
+        return jnp.where(rng >= thr8, x / keep_q, 0).astype(x.dtype)
     keep = 1.0 - rate
     thr = min(int(round(rate * 65536.0)), 65535)
     if getattr(rng, 'dtype', None) == jnp.uint16:

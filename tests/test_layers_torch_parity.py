@@ -121,3 +121,18 @@ def test_dropout_high_rate_no_wraparound():
     assert np.all(np.isfinite(out))
     # keep probability ~1e-4: nearly everything should be dropped
     assert (out != 0).mean() < 0.01
+
+
+def test_dropout_uint8_bits_unbiased():
+    """Pregenerated uint8 bits: drop rate quantizes to round(p*256)/256 and
+    the survivor scale uses the QUANTIZED keep rate, so E[out] == E[x]."""
+    import jax
+    x = jnp.ones((1 << 20,), jnp.float32)
+    bits = jax.random.bits(jax.random.key(0), x.shape, jnp.uint8)
+    out = np.asarray(layers.dropout(x, 0.1, bits))
+    # effective rate 26/256 = 0.1015625
+    assert abs((out == 0).mean() - 26 / 256) < 3e-3
+    assert abs(out.mean() - 1.0) < 5e-3
+    # survivors all share the exact quantized inverse-keep scale
+    surv = out[out != 0]
+    np.testing.assert_allclose(surv, 1.0 / (1.0 - 26 / 256), rtol=1e-6)

@@ -217,6 +217,7 @@ def test_bulk_dropout_bits():
                                    dec_num_heads=4, dec_depth=depth,
                                    bulk_dropout_bits=True)
         keyed = dataclasses.replace(bulk, bulk_dropout_bits=False)
+        u8 = dataclasses.replace(bulk, bulk_bits_uint8=True)
         nprng = np.random.default_rng(0)
         params = parseq.init(jax.random.key(0), bulk)
         im = jax.random.uniform(jax.random.key(3), (4, 16, 32, 3), jnp.float32)
@@ -224,7 +225,7 @@ def test_bulk_dropout_bits():
         perms = jnp.asarray(parseq.gen_tgt_perms(nprng, bulk))
         key = jax.random.key(7)
 
-        for cfg in (bulk, keyed):  # keyed path stays covered with dropout on
+        for cfg in (bulk, keyed, u8):  # keyed + uint8 paths stay covered with dropout on
             lb, numel = parseq.multi_perm_loss(params, cfg, im, tgt, perms, rng=key)
             assert np.isfinite(float(lb))
             g = jax.grad(lambda p: parseq.multi_perm_loss(
