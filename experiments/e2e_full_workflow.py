@@ -64,6 +64,12 @@ def main():
     ap.add_argument('--root', default='/tmp/e2e_workflow')
     ap.add_argument('--steps', type=int, default=1500)
     ap.add_argument('--batch_size', type=int, default=128)
+    ap.add_argument('--augment', action='store_true',
+                    help='train with RandAugment on (covers the augment '
+                         'pipeline incl. the LUT Poisson sampler)')
+    ap.add_argument('--overrides', nargs='*', default=[],
+                    help='extra dotted train-CLI overrides, e.g. '
+                         'model.bulk_bits_uint8=true')
     args = ap.parse_args()
     root = args.root
     rng = np.random.default_rng(0)
@@ -88,9 +94,11 @@ def main():
     work = f'{root}/run'
     train_main(['--charset', '36_lowercase', '--work_dir', work,
                 f'data.root_dir={root}/data', 'data.num_workers=0',
-                'data.augment=false', f'model.batch_size={args.batch_size}',
+                f'data.augment={"true" if args.augment else "false"}',
+                f'model.batch_size={args.batch_size}',
                 f'trainer.max_steps={args.steps}',
-                'trainer.val_check_interval=250', 'trainer.devices=1'])
+                'trainer.val_check_interval=250', 'trainer.devices=1']
+               + list(args.overrides))
     print(f'[{time.time()-t0:5.0f}s] training done', flush=True)
 
     # ---- 3. test CLI: benchmark tables -------------------------------------
