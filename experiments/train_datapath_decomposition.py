@@ -15,10 +15,14 @@ Run: python experiments/train_datapath_decomposition.py
 """
 
 import io
+import os
+import sys
 import time
 
 import numpy as np
 from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parseq_tpu.data.augment import rand_augment_transform
 from parseq_tpu.data.transforms import preprocess_pil, preprocess_pil_u8

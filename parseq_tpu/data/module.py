@@ -104,7 +104,7 @@ class SceneTextDataModule:
                 PurePath(self.root_dir, 'train', self.train_dir),
                 self.charset_train, self.max_label_length, self.min_image_dim,
                 self.remove_whitespace, self.normalize_unicode,
-                transform=get_transform(self.img_size, self.augment, u8=True),
+                transform=get_transform(self.img_size, self.augment, u8=False),
             )
         return self._train_dataset
 

@@ -627,7 +627,10 @@ def multi_perm_loss(params, cfg: PARSeqConfig, images, tgt_ids, perms, *, dtype=
         B_, Lq = tgt_in.shape
         shapes = dropout_site_shapes(cfg, B_, Lq, memory.shape[1])
         site_keys = _rng_list(rng, len(shapes))
-        bits_dtype = jnp.uint8 if cfg.bulk_bits_uint8 else jnp.uint16
+        # uint8 bits cannot represent rates below 1/512 (round(p*256) == 0
+        # would silently disable dropout) — fall back to uint16 there.
+        u8_ok = cfg.bulk_bits_uint8 and round(cfg.dropout * 256.0) >= 1
+        bits_dtype = jnp.uint8 if u8_ok else jnp.uint16
         bits = [jax.random.bits(k, (K, *s), bits_dtype)
                 for k, s in zip(site_keys, shapes)]
         logits = jax.vmap(decode_one)(content_bias, query_bias, bits)

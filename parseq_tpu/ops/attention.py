@@ -205,7 +205,7 @@ def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
     # the padded-score traffic flips the balance (see gate above).
     if use_kernel is None:
         use_kernel = USE_KERNEL or x.shape[1] >= KERNEL_MIN_LEN
-    if not use_kernel or jax.default_backend() == 'cpu':
+    if not use_kernel or jax.default_backend() != 'tpu':
         if USE_FLASH_BWD and jax.default_backend() == 'tpu':
             return _mha_flashbwd(p, x, num_heads)
         return layers.mha(p, x, x, x, num_heads=num_heads)

@@ -154,6 +154,12 @@ def dropout(x, rate, rng=None):
         # the QUANTIZED keep rate, so inverted dropout stays exactly
         # unbiased (rate 0.1 -> effective 0.1016).
         thr8 = min(int(round(rate * 256.0)), 255)
+        if thr8 == 0:
+            # rate < 1/512 quantizes to a silent no-op at 8 bits; callers
+            # must generate uint16 bits instead (parseq.py gates on this).
+            raise ValueError(
+                f'dropout rate {rate} is not representable in uint8 bulk '
+                f'bits (round(rate*256) == 0); pass uint16 bits')
         keep_q = 1.0 - thr8 / 256.0
         return jnp.where(rng >= thr8, x / keep_q, 0).astype(x.dtype)
     keep = 1.0 - rate

@@ -78,12 +78,10 @@ def score_batch(tokenizer, charset_adapter, probs, labels, valid=None,
 
 @jax.jit
 def _normalize_u8(x):
-    """uint8 NHWC -> f32 in [-1, 1] on device; same op order as the host
-    path (transforms.preprocess_pil) — equal to within 1 ulp (XLA may fuse
-    the affine into an FMA, flipping the last bit)."""
-    import jax.numpy as jnp
+    """Jitted wrapper over the shared u8 normalize (steps.normalize_u8)."""
+    from parseq_tpu.train.steps import normalize_u8
 
-    return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return normalize_u8(x)
 
 
 @jax.jit

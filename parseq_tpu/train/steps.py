@@ -17,18 +17,26 @@ import jax
 import jax.numpy as jnp
 
 
+def normalize_u8(x):
+    """uint8 -> f32 in [-1, 1], exact host op order ((x/255 - .5)/.5,
+    reference module.py:80-81) so values are bit-identical to f32 transport
+    (XLA may fuse the affine into an FMA, flipping the last bit). The single
+    source of truth for the u8 device-side normalize — train step, SWA/BN
+    re-estimation, validate, and eval all route through it."""
+    return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+
+
 def normalize_images(batch):
     """uint8 images -> f32 in [-1, 1] on device (no-op for float input).
 
     The training loader ships uint8 batches (4x less worker IPC + H2D than
     f32 — measured 56k vs 2.9k img/s pool roundtrip on the 1-core host,
     experiments/train_datapath_decomposition.py) and this normalize runs
-    inside the jitted step with the exact host op order ((x/255 - .5)/.5,
-    reference module.py:80-81), so values are bit-identical to f32 transport.
+    inside the jitted step.
     """
     img = batch['images']
     if img.dtype == jnp.uint8:
-        batch = dict(batch, images=(img.astype(jnp.float32) / 255.0 - 0.5) / 0.5)
+        batch = dict(batch, images=normalize_u8(img))
     return batch
 
 
