@@ -67,6 +67,9 @@ def main():
     ap.add_argument('--augment', action='store_true',
                     help='train with RandAugment on (covers the augment '
                          'pipeline incl. the LUT Poisson sampler)')
+    ap.add_argument('--seed', type=int, default=0,
+                    help='training seed (forwarded to cli.train) — seed '
+                         'pairs at a fixed config pin run-to-run variance')
     ap.add_argument('--overrides', nargs='*', default=[],
                     help='extra dotted train-CLI overrides, e.g. '
                          'model.bulk_bits_uint8=true')
@@ -93,6 +96,7 @@ def main():
 
     work = f'{root}/run'
     train_main(['--charset', '36_lowercase', '--work_dir', work,
+                '--seed', str(args.seed),
                 f'data.root_dir={root}/data', 'data.num_workers=0',
                 f'data.augment={"true" if args.augment else "false"}',
                 f'model.batch_size={args.batch_size}',

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""On-device (real TPU) numerical parity for the no-split pallas kernel.
+
+Advisor round-4 finding: the KERNEL_MIN_LEN auto-gate routes L>=192
+encoder self-attention onto the pallas no-split kernel on TPU — including
+non-tile-aligned L=197 (ViTSTR) — but parity was only proven in interpret
+mode on CPU, and the repo's own flash_bwd notes record a case where
+interpret mode was exact while the on-device Mosaic lowering was wrong.
+
+This asserts parity ON DEVICE at every production geometry the gate can
+select, plus end-to-end argmax agreement through the full ViTSTR forward:
+
+  1. kernel vs einsum tensor diff at (L=197, h=6, D=384)  ViTSTR (cls tok)
+                                     (L=256, h=8, D=512)  ABINet vision enc
+                                     (L=196, h=6, D=384)  parseq_patch16_224
+     in bf16 (production) and f32.
+  2. full ViTSTR forward with the gate on vs forced-einsum: logits diff +
+     greedy-pick agreement above the bf16 noise margin.
+
+Exits nonzero on any violation. Run: python experiments/kernel_device_parity.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from parseq_tpu.ops import attention
+
+FAIL = []
+
+
+def check(label, got, want, atol):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    d = float(np.max(np.abs(got - want)))
+    ok = d <= atol
+    print(f'{label:58s} max|diff| {d:9.3e}  (atol {atol:g}) {"OK" if ok else "FAIL"}',
+          flush=True)
+    if not ok:
+        FAIL.append(label)
+    return d
+
+
+def _truth_nosplit(q, k, v, num_heads, scale):
+    """Full-f32 ground truth: HIGHEST-precision matmuls, f32 softmax."""
+    B, L, D = q.shape
+    dh = D // num_heads
+
+    def split(x):
+        return x.astype(jnp.float32).reshape(B, L, num_heads, dh).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum('bhqd,bhkd->bhqk', split(q), split(k),
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum('bhqk,bhkd->bhqd', p, split(v),
+                   precision=jax.lax.Precision.HIGHEST)
+    return o.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def direct_cases():
+    """bf16 (the production dtype): kernel vs einsum direct, tight atol.
+
+    f32: on device BOTH paths run the MXU at DEFAULT precision (bf16-pass
+    multiplies, f32 accumulate) with different reduction orders, so a raw
+    kernel-vs-einsum atol cannot be tighter than the einsum path's own
+    rounding. The principled check: measure each path against a
+    Precision.HIGHEST f32 truth and require the kernel's error to be within
+    4x the einsum path's (measured: kernel and einsum land at the IDENTICAL
+    max error vs truth, 5.2-7.4e-3, dominated by the shared MXU bf16-pass
+    input quantization — no systematic kernel error)."""
+    for (L, h, D), tag in [((197, 6, 384), 'ViTSTR'),
+                           ((256, 8, 512), 'ABINet'),
+                           ((196, 6, 384), 'parseq_patch16_224')]:
+        B = 16
+        kq, kk, kv = jax.random.split(jax.random.key(L), 3)
+        scale = 1.0 / np.sqrt(D // h)
+        mk = lambda key, dtype: jax.random.normal(key, (B, L, D), dtype)
+
+        # bf16 production path: direct kernel-vs-einsum, both quantize
+        # inputs identically so reduction order is the only difference.
+        q, k, v = (mk(kk_, jnp.bfloat16) for kk_ in (kq, kk, kv))
+        got = jax.jit(lambda q, k, v: attention._pallas_attention_nosplit(
+            q, k, v, h, scale))(q, k, v)
+        want = jax.jit(lambda q, k, v: attention._reference_nosplit(
+            q, k, v, h, scale))(q, k, v)
+        check(f'kernel vs einsum {tag} L={L} h={h} D={D} bfloat16',
+              got, want, 3e-2)
+
+        # f32: both paths vs HIGHEST-precision truth.
+        q, k, v = (mk(kk_, jnp.float32) for kk_ in (kq, kk, kv))
+        truth = np.asarray(jax.jit(lambda q, k, v: _truth_nosplit(
+            q, k, v, h, scale))(q, k, v), np.float32)
+        got = np.asarray(jax.jit(lambda q, k, v: attention._pallas_attention_nosplit(
+            q, k, v, h, scale))(q, k, v), np.float32)
+        ein = np.asarray(jax.jit(lambda q, k, v: attention._reference_nosplit(
+            q, k, v, h, scale))(q, k, v), np.float32)
+        e_kernel = float(np.max(np.abs(got - truth)))
+        e_einsum = float(np.max(np.abs(ein - truth)))
+        bound = max(4 * e_einsum, 1e-4)
+        ok = e_kernel <= bound
+        print(f'{f"f32 vs HIGHEST truth {tag} L={L}":58s} kernel {e_kernel:9.3e} '
+              f'einsum {e_einsum:9.3e} (bound {bound:.1e}) {"OK" if ok else "FAIL"}',
+              flush=True)
+        if not ok:
+            FAIL.append(f'f32 {tag}')
+
+
+def vitstr_end_to_end():
+    from parseq_tpu.models import vitstr
+
+    cfg = vitstr.ViTSTRConfig()
+    params = vitstr.init(jax.random.key(0), cfg)
+    img = jax.random.uniform(jax.random.key(1), (64, 224, 224, 3), jnp.float32)
+    img = (img - 0.5) / 0.5
+
+    def fwd(x):
+        return vitstr.forward(params, cfg, x, dtype=jnp.bfloat16)
+
+    prod = np.asarray(jax.jit(fwd)(img), np.float32)  # gate -> kernel on TPU
+    old = attention.KERNEL_MIN_LEN
+    try:
+        attention.KERNEL_MIN_LEN = 10 ** 9  # force einsum
+        ein = np.asarray(jax.jit(fwd)(img), np.float32)
+    finally:
+        attention.KERNEL_MIN_LEN = old
+
+    check('full ViTSTR fwd bf16: kernel-gated vs einsum logits', prod, ein, 0.25)
+    # greedy agreement wherever the margin exceeds the bf16 noise floor
+    top2 = np.sort(ein, -1)[..., -2:]
+    confident = (top2[..., 1] - top2[..., 0]) > 0.1
+    agree = (prod.argmax(-1) == ein.argmax(-1))[confident]
+    frac = float(agree.mean())
+    print(f'{"greedy agreement above 0.1 margin":58s} {frac:.6f} '
+          f'({int(agree.sum())}/{agree.size}) '
+          f'{"OK" if frac == 1.0 else "FAIL"}', flush=True)
+    if frac != 1.0:
+        FAIL.append('vitstr greedy agreement')
+
+
+def main():
+    print(f'backend: {jax.default_backend()}  devices: {jax.devices()}', flush=True)
+    assert jax.default_backend() == 'tpu', 'this parity check must run on device'
+    direct_cases()
+    vitstr_end_to_end()
+    if FAIL:
+        print('FAILURES:', FAIL)
+        sys.exit(1)
+    print('all on-device kernel parity checks passed')
+
+
+if __name__ == '__main__':
+    main()

@@ -104,7 +104,13 @@ class SceneTextDataModule:
                 PurePath(self.root_dir, 'train', self.train_dir),
                 self.charset_train, self.max_label_length, self.min_image_dim,
                 self.remove_whitespace, self.normalize_unicode,
-                transform=get_transform(self.img_size, self.augment, u8=False),
+                # u8 transport is the production default (4x less worker IPC
+                # + H2D; in-jit normalize is bit-identical to f32 transport —
+                # steps.normalize_u8). An end-of-round-4 snapshot accidentally
+                # reverted this to u8=False; restored + re-validated in round 5
+                # (loader-fed E2E + production-config full-workflow run,
+                # PERF.md "Training data path").
+                transform=get_transform(self.img_size, self.augment, u8=True),
             )
         return self._train_dataset
 

@@ -129,10 +129,13 @@ def patch_embed(p, images, cfg: ViTConfig):
 
     if ph * k >= 192:  # large patches: conv lowering wins (see docstring)
         w = p['w'].astype(images.dtype).reshape(ph, pw, C, D)
+        # f32 accumulation + cast-then-bias mirrors the row path exactly so
+        # both gate branches round identically in bf16.
         out = jax.lax.conv_general_dilated(
             images, w, window_strides=(ph, pw), padding='VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        out = out + p['b'].astype(out.dtype)
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        out = out.astype(images.dtype) + p['b'].astype(images.dtype)
         return out.reshape(B, gh * gw, D)
 
     x = images.reshape(B, gh, ph, gw, k)                   # pure reshape

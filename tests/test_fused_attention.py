@@ -49,7 +49,8 @@ def test_custom_vjp_grads_match_reference():
 
 
 @pytest.mark.parametrize('B,L,h,D', [(4, 32, 4, 64), (3, 40, 2, 32),
-                                     (2, 197, 6, 48)])  # ViTSTR's odd L
+                                     (2, 197, 6, 48),    # ViTSTR's odd L
+                                     (2, 256, 8, 512)])  # ABINet vision encoder
 def test_nosplit_kernel_matches_reference(B, L, h, D):
     from parseq_tpu.ops.attention import _pallas_attention_nosplit, _reference_nosplit
 

@@ -88,3 +88,39 @@ def test_patchify_conv_equals_row_accum():
     ref = img.reshape(B, gh, ph, gw, pw, C).transpose(0, 1, 3, 2, 4, 5)
     ref = ref.reshape(B, gh * gw, ph * pw * C) @ p['w'] + p['b']
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_patchify_conv_equals_row_accum_bf16():
+    """Both gate branches must round identically in bf16: f32 accumulation
+    (preferred_element_type), cast to input dtype, then bias add — so the
+    conv path (patch_dim >= 192) and the row path are interchangeable under
+    mixed precision, not just f32 (advisor round-4 low finding)."""
+    from parseq_tpu.models import vit
+
+    conv_cfg = vit.ViTConfig(img_size=(32, 64), patch_size=(16, 16), embed_dim=48)
+    p = vit.init(jax.random.key(0), conv_cfg)['patch_embed']
+    img = jax.random.normal(jax.random.key(1), (3, 32, 64, 3), jnp.float32)
+    img = img.astype(jnp.bfloat16)
+
+    got = vit.patch_embed(p, img, conv_cfg)
+    assert got.dtype == jnp.bfloat16
+
+    # Row-accumulation ground truth at the same geometry (gate forced off by
+    # replicating its math directly: f32-accumulated per-row einsum, cast,
+    # then bias add in bf16 — vit.patch_embed's small-patch branch).
+    B, H, W, C = img.shape
+    ph, pw = conv_cfg.patch_size
+    gh, gw = H // ph, W // pw
+    k = pw * C
+    x = img.reshape(B, gh, ph, gw, k)
+    w = p['w'].astype(img.dtype).reshape(ph, k, conv_cfg.embed_dim)
+    ref = jnp.zeros((B, gh, gw, conv_cfg.embed_dim), jnp.float32)
+    for r in range(ph):
+        ref = ref + jnp.einsum('bgwk,kd->bgwd', x[:, :, r], w[r],
+                               preferred_element_type=jnp.float32)
+    ref = ref.astype(img.dtype) + p['b'].astype(img.dtype)
+    ref = ref.reshape(B, gh * gw, conv_cfg.embed_dim)
+    # Same accumulation dtype and same cast/bias order -> tight bf16 match.
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=1e-2, rtol=1e-2)
