@@ -71,14 +71,15 @@ class PARSeqConfig:
     # (experiments/bulk_dropout_step_ab.py, slope-timed full production
     # step): 98.1 vs 101.5 ms at bs=384 m=4 — default on.
     bulk_dropout_bits: bool = True
-    # Bulk bits as uint8 instead of uint16: half the bits HBM traffic.
+    # Bulk bits as uint8 instead of uint16: half the bits HBM traffic,
+    # 1.56 ms/step recovered at bs=384 (experiments/dropout_fusion_levers.py).
     # The drop probability quantizes to round(p*256)/256 (0.1 -> 0.1016)
     # with the survivor scale using the quantized keep rate, so inverted
-    # dropout stays exactly unbiased — but the rate itself deviates ~1.6%
-    # relative from the reference's exact p, hence flag-gated and default
-    # off pending a measured win that justifies it
-    # (experiments/dropout_fusion_levers.py).
-    bulk_bits_uint8: bool = False
+    # dropout stays exactly unbiased; rates below 1/512 fall back to uint16
+    # (see multi_perm_loss). Default ON since round 5: the full-workflow e2e
+    # with the lever genuinely engaged scored 98.57% combined — top of the
+    # task's historical spread (PERF.md round-5 e2e section).
+    bulk_bits_uint8: bool = True
 
     # Training-time permutation settings (system.py:81-85)
     perm_num: int = 6

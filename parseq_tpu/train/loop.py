@@ -110,6 +110,18 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     family = get_family(name)
     tree0 = _as_tree(bundle.params)
 
+    # Same no-silent-drop contract as model.* keys (utils/registry.py): a
+    # data.* override that doesn't reach the DataModule trains on different
+    # data than requested. The reference instantiates the module via hydra,
+    # which errors on unexpected kwargs.
+    _known_data = {'root_dir', 'train_dir', 'batch_size', 'num_workers',
+                   'augment', 'remove_whitespace', 'normalize_unicode',
+                   'min_image_dim', 'rotation', 'img_size', 'charset_train',
+                   'charset_test', 'max_label_length'}
+    _unknown_data = set(dcfg) - _known_data
+    if _unknown_data:
+        raise ValueError(f'unknown data config key(s): {sorted(_unknown_data)}; '
+                         f'accepted: {sorted(_known_data)}')
     dm = SceneTextDataModule(
         dcfg.get('root_dir', 'data'), dcfg.get('train_dir', 'real'),
         mcfg['img_size'], mcfg['max_label_length'], mcfg['charset_train'],
@@ -117,6 +129,8 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         dcfg.get('batch_size', mcfg.get('batch_size', 384)),
         dcfg.get('num_workers', 2), dcfg.get('augment', True),
         dcfg.get('remove_whitespace', True), dcfg.get('normalize_unicode', True),
+        min_image_dim=dcfg.get('min_image_dim', 0),
+        rotation=dcfg.get('rotation', 0),
     )
     n_procs = jax.process_count()
     train_loader = dm.train_dataloader(seed=seed, shard_rank=jax.process_index(),

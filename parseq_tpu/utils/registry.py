@@ -62,6 +62,38 @@ def _family(name: str) -> str:
     raise InvalidModelError(f"Unable to find model family for '{name}'")
 
 
+# Trainer-level keys that legitimately live in the model config node
+# (reference hydra layout: model.lr / model.batch_size etc. feed the
+# trainer, not the network — configs/model/*.yaml).
+_TRAINER_KEYS = frozenset({
+    'name', 'lr', 'l_lr', 'batch_size', 'weight_decay', 'warmup_pct',
+    'charset_train', 'charset_test', 'lm_only',
+})
+
+
+class _TrackedCfg(dict):
+    """Dict view that records which keys a family builder consumed.
+
+    Every model.* key must be consumed by the builder or be a known
+    trainer key — otherwise creation fails loudly. A silently-dropped
+    key is worse than an error: `model.bulk_bits_uint8=true` no-opped
+    through a full e2e training run in round 5 because the builder's
+    explicit field list didn't include it (the reference's hydra structs
+    reject unknown fields for the same reason)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.consumed = set()
+
+    def get(self, key, default=None):
+        self.consumed.add(key)
+        return super().get(key, default)
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
 def _build_parseq(model_cfg: dict, dtype=jnp.bfloat16):
     from parseq_tpu.models import parseq
 
@@ -85,6 +117,12 @@ def _build_parseq(model_cfg: dict, dtype=jnp.bfloat16):
         perm_num=model_cfg.get('perm_num', 6),
         perm_forward=model_cfg.get('perm_forward', True),
         perm_mirrored=model_cfg.get('perm_mirrored', True),
+        # Training dropout-mask levers (PARSeqConfig docstrings / PERF.md);
+        # config-settable so `model.bulk_bits_uint8=true` style overrides
+        # actually reach the model.
+        shared_perm_dropout=model_cfg.get('shared_perm_dropout', False),
+        bulk_dropout_bits=model_cfg.get('bulk_dropout_bits', True),
+        bulk_bits_uint8=model_cfg.get('bulk_bits_uint8', True),
     )
 
     def forward_fn(params, images):
@@ -272,7 +310,16 @@ def _bundle(name, model_cfg, *, seed=0, dtype=jnp.bfloat16, params=None, torch_s
         raise InvalidModelError(
             f"Model family '{family}' is not implemented yet (available: {sorted(_BUILDERS)})"
         )
-    cfg, tok, forward_fn, init_fn, convert_fn = _BUILDERS[family](model_cfg, dtype)
+    tracked = _TrackedCfg(model_cfg)
+    cfg, tok, forward_fn, init_fn, convert_fn = _BUILDERS[family](tracked, dtype)
+    unknown = set(model_cfg) - tracked.consumed - _TRAINER_KEYS
+    if unknown:
+        raise InvalidModelError(
+            f"Unknown model config key(s) for family '{family}': "
+            f"{sorted(unknown)}. Accepted model keys: "
+            f"{sorted(tracked.consumed)}; trainer-level keys: "
+            f"{sorted(_TRAINER_KEYS)}. (Refusing to silently drop them — "
+            f"an ignored override trains a different model than requested.)")
     if params is None:
         params = convert_fn(torch_sd) if torch_sd is not None else init_fn(jax.random.key(seed))
     adapter = CharsetAdapter(model_cfg.get('charset_test') or model_cfg['charset_train'])

@@ -110,3 +110,27 @@ def test_bench_tune_config_files():
     t = _tune_defaults()
     assert t['num_samples'] == 10
     assert float(t['lr']['min']) == 1e-4 and float(t['lr']['max']) == 2e-3
+
+
+def test_model_config_keys_reach_the_model_or_fail_loudly():
+    """Every model.* override must either reach the model config or raise.
+
+    Regression test for the round-5 finding: `model.bulk_bits_uint8=true`
+    passed through the config system into the saved run config but the
+    family builder's explicit field list silently dropped it — an entire
+    e2e validation run trained WITHOUT the lever it was validating (the
+    run was bit-identical to the prior round's, which is how it was
+    caught). The registry now tracks which keys the builder consumed and
+    refuses unknown ones (reference equivalence: hydra struct configs
+    reject unknown fields)."""
+    from parseq_tpu.utils.registry import InvalidModelError, create_model
+
+    m = create_model('parseq', charset_train='ab', bulk_bits_uint8=True,
+                     shared_perm_dropout=False, bulk_dropout_bits=True)
+    assert m.cfg.bulk_bits_uint8 is True
+
+    with pytest.raises(InvalidModelError, match='bulk_bits_uint9'):
+        create_model('parseq', charset_train='ab', bulk_bits_uint9=True)
+    with pytest.raises(InvalidModelError, match='hidden_size'):
+        # valid for crnn/trba, not for parseq — must not silently no-op
+        create_model('parseq', charset_train='ab', hidden_size=256)
