@@ -70,6 +70,12 @@ def main():
     ap.add_argument('--seed', type=int, default=0,
                     help='training seed (forwarded to cli.train) — seed '
                          'pairs at a fixed config pin run-to-run variance')
+    ap.add_argument('--vocab_size', type=int, default=64,
+                    help='distinct words in the synthetic task. The default '
+                         '64 makes characters largely predictable from '
+                         'teacher-forced context alone (a blind-LM basin '
+                         'when augment crushes visual SNR — PERF.md round-5 '
+                         'e2e section); a large vocab forces visual learning')
     ap.add_argument('--overrides', nargs='*', default=[],
                     help='extra dotted train-CLI overrides, e.g. '
                          'model.bulk_bits_uint8=true')
@@ -77,7 +83,7 @@ def main():
     root = args.root
     rng = np.random.default_rng(0)
     vocab = [''.join(rng.choice(list(CHARSET_36), int(rng.integers(2, 6))))
-             for _ in range(64)]
+             for _ in range(args.vocab_size)]
 
     t0 = time.time()
     write_db(f'{root}/data/train/real/syn', make_split(rng, vocab, 6144))

@@ -63,7 +63,18 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
         cfg = model.cfg
         cost_fwd = lambda p, x: _pq.forward(p, cfg, x, use_fused_ar=False)  # noqa: E731
     try:
-        flops = count_flops(cost_fwd, model.params, batches[0]) / batch_size
+        # Count with the pallas attention kernel gate forced off for the
+        # same reason as the AR kernel above: pallas calls are opaque to
+        # the jaxpr walk, which silently dropped ~0.36 G of attention MACs
+        # per image at ViTSTR's L=197 when the L>=192 gate was introduced.
+        from parseq_tpu.ops import attention as _attn
+
+        _old_min_len = _attn.KERNEL_MIN_LEN
+        _attn.KERNEL_MIN_LEN = 10 ** 9
+        try:
+            flops = count_flops(cost_fwd, model.params, batches[0]) / batch_size
+        finally:
+            _attn.KERNEL_MIN_LEN = _old_min_len
     except Exception:  # noqa: BLE001 - flops are informational
         flops = float('nan')
 

@@ -122,6 +122,16 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
     if _unknown_data:
         raise ValueError(f'unknown data config key(s): {sorted(_unknown_data)}; '
                          f'accepted: {sorted(_known_data)}')
+    _known_trainer = {'microbatches', 'val_check_interval', 'max_epochs',
+                      'max_steps', 'gradient_clip_val', 'devices', 'swa',
+                      'limit_train_batches', 'accumulate_grad_batches',
+                      'swa_epoch_start',
+                      'multihost'}  # multihost consumed by cli/train.py
+    _unknown_trainer = set(tcfg) - _known_trainer
+    if _unknown_trainer:
+        raise ValueError(f'unknown trainer config key(s): '
+                         f'{sorted(_unknown_trainer)}; accepted: '
+                         f'{sorted(_known_trainer)}')
     dm = SceneTextDataModule(
         dcfg.get('root_dir', 'data'), dcfg.get('train_dir', 'real'),
         mcfg['img_size'], mcfg['max_label_length'], mcfg['charset_train'],
@@ -166,6 +176,10 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         batch_size=dm.batch_size, grad_clip=tcfg.get('gradient_clip_val', 20.0),
         total_steps=total_steps, num_devices=n_devices, accum=agb,
         swa=tcfg.get('swa', True),
+        # Was silently dropped before the unknown-key guard below existed:
+        # tests/test_resume.py set trainer.swa_epoch_start=0.0 and trained
+        # under the 0.75 default instead.
+        swa_epoch_start=tcfg.get('swa_epoch_start', 0.75),
     )
     # Optional pretrained weights (train.py:79-81): native ckpt or torch .pt.
     if config.get('pretrained'):
@@ -218,7 +232,11 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         start_step = int(state['step'])
         log.info(f'resumed training state from {resume} at step {start_step}')
     state = replicate(state, mesh)
-    swa_start = int(ocfg.swa_epoch_start * total_micro) if ocfg.swa else total_micro
+    # Clamped to step 1: micro-steps count from 1, so swa_epoch_start=0.0
+    # ("average from the very start") must snapshot at the FIRST step, not
+    # at the never-taken step 0 (snapshots fire when
+    # (step - swa_start) % steps_per_epoch == 0, below).
+    swa_start = max(1, int(ocfg.swa_epoch_start * total_micro)) if ocfg.swa else total_micro
     swa_state = None
     if resume:
         swa_path = Path(resume).parent / 'swa_state.ckpt'

@@ -122,9 +122,16 @@ def test_resume_preserves_swa_average(data_root, tmp_path):  # noqa: F811
     from parseq_tpu.train.loop import train
     from parseq_tpu.utils.registry import create_model
 
+    # swa_epoch_start=0.0 -> snapshots at step 1 then every epoch;
+    # limit_train_batches=0.125 -> 2 steps/epoch, so the resumed run's step 3
+    # crosses a snapshot point. (Until round 5 the swa_epoch_start key was
+    # silently dropped by the loop — the trainer-key guard now rejects
+    # unknown keys — and this test only passed because the 0.75 default
+    # rescaled swa_start with each run's max_steps.)
     cfg = _config(data_root)
     cfg['trainer']['swa'] = True
     cfg['trainer']['swa_epoch_start'] = 0.0  # average from the first step
+    cfg['trainer']['limit_train_batches'] = 0.125
     state1, _ = train(cfg, tmp_path / 'run1', compute_dtype=jnp.float32, max_steps=2)
     swa_path = tmp_path / 'run1' / 'checkpoints' / 'swa_state.ckpt'
     assert swa_path.exists()
@@ -138,6 +145,7 @@ def test_resume_preserves_swa_average(data_root, tmp_path):  # noqa: F811
     cfg2 = _config(data_root, ckpt_path=str(tmp_path / 'run1' / 'checkpoints' / 'train_state.ckpt'))
     cfg2['trainer']['swa'] = True
     cfg2['trainer']['swa_epoch_start'] = 0.0
+    cfg2['trainer']['limit_train_batches'] = 0.125
     train(cfg2, tmp_path / 'run2', compute_dtype=jnp.float32, max_steps=4)
     swa2 = serialization.from_bytes(template,
                                     (tmp_path / 'run2' / 'checkpoints' / 'swa_state.ckpt').read_bytes())
