@@ -95,23 +95,16 @@ def main():
         return jnp.sum(logits) * 1e-9
 
     ms_prod = t('full ABINet (production gate)', full)
-    old = attention.KERNEL_MIN_LEN
-    try:
-        attention.KERNEL_MIN_LEN = 10 ** 9
+    with attention.force_einsum():
         ms_ein = t('full ABINet (forced einsum)', full)
-    finally:
-        attention.KERNEL_MIN_LEN = old
     print(f'  -> production {B/ms_prod*1000:,.0f} img/s vs einsum '
           f'{B/ms_ein*1000:,.0f} img/s', flush=True)
 
     # on-device parity between the two paths
     fwd = lambda x: abinet.inference_logits(params, stats, cfg, x, dtype=jnp.bfloat16)
     prod = np.asarray(jax.jit(fwd)(img0[:64]), np.float32)
-    try:
-        attention.KERNEL_MIN_LEN = 10 ** 9
+    with attention.force_einsum():
         ein = np.asarray(jax.jit(fwd)(img0[:64]), np.float32)
-    finally:
-        attention.KERNEL_MIN_LEN = old
     d = float(np.max(np.abs(prod - ein)))
     top2 = np.sort(ein, -1)[..., -2:]
     confident = (top2[..., 1] - top2[..., 0]) > 0.1

@@ -123,12 +123,8 @@ def vitstr_end_to_end():
         return vitstr.forward(params, cfg, x, dtype=jnp.bfloat16)
 
     prod = np.asarray(jax.jit(fwd)(img), np.float32)  # gate -> kernel on TPU
-    old = attention.KERNEL_MIN_LEN
-    try:
-        attention.KERNEL_MIN_LEN = 10 ** 9  # force einsum
+    with attention.force_einsum():
         ein = np.asarray(jax.jit(fwd)(img), np.float32)
-    finally:
-        attention.KERNEL_MIN_LEN = old
 
     check('full ViTSTR fwd bf16: kernel-gated vs einsum logits', prod, ein, 0.25)
     # greedy agreement wherever the margin exceeds the bf16 noise floor

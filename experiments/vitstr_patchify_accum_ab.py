@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from experiments._timing import slope_ms
-from parseq_tpu.models import vit, vitstr
+from parseq_tpu.models import vitstr
 
 
 def t(label, body, **kw):
@@ -32,9 +32,7 @@ def t(label, body, **kw):
 
 def main():
     cfg = vitstr.ViTSTRConfig()
-    vcfg = cfg.vit if hasattr(cfg, 'vit') else vit.ViTConfig(
-        img_size=cfg.img_size, patch_size=cfg.patch_size, embed_dim=384,
-        depth=12, num_heads=6)
+    vcfg = cfg.vit
     params = vitstr.init(jax.random.key(0), cfg)
     B = 256
     img = jax.random.uniform(jax.random.key(1), (B, *cfg.img_size, 3), jnp.float32)

@@ -69,12 +69,8 @@ def bench_model(name, batch_size=1, iters=8, trials=7, int8=False, **kwargs):
         # per image at ViTSTR's L=197 when the L>=192 gate was introduced.
         from parseq_tpu.ops import attention as _attn
 
-        _old_min_len = _attn.KERNEL_MIN_LEN
-        _attn.KERNEL_MIN_LEN = 10 ** 9
-        try:
+        with _attn.force_einsum():
             flops = count_flops(cost_fwd, model.params, batches[0]) / batch_size
-        finally:
-            _attn.KERNEL_MIN_LEN = _old_min_len
     except Exception:  # noqa: BLE001 - flops are informational
         flops = float('nan')
 

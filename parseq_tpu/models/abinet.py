@@ -180,20 +180,17 @@ def _act(cfg):
 
 def _enc_layer(p, cfg, x, *, drop=0.0, rng=None):
     r = [None] * 4 if rng is None else list(jax.random.split(rng, 4))
-    if drop == 0.0:
-        # Inference: route through the length-gated fused attention. At
-        # ABINet's L = 256 (>= KERNEL_MIN_LEN) the einsum path's padded
-        # (B, h, L, L) f32 score traffic dominates the sublayer; the pallas
-        # no-split kernel keeps scores in VMEM (same mechanism measured for
-        # ViTSTR at L=197, ops/attention.py:178-190). Training keeps the
-        # einsum path because the reference applies dropout to the attention
-        # probabilities (torch MultiheadAttention default), which the kernel
-        # does not implement.
-        from parseq_tpu.ops.attention import encoder_self_attention
+    # Length-gated fused attention: at ABINet's L = 256 (>= KERNEL_MIN_LEN)
+    # the einsum path's padded (B, h, L, L) f32 score traffic dominates the
+    # sublayer; the pallas no-split kernel keeps scores in VMEM (same
+    # mechanism measured for ViTSTR at L=197, ops/attention.py). The routing
+    # layer itself falls back to layers.mha when dropout is active (the
+    # reference drops attention probabilities, which the kernel doesn't
+    # implement) or off-TPU.
+    from parseq_tpu.ops.attention import encoder_self_attention
 
-        a = encoder_self_attention(p['self_attn'], x, cfg.nhead)
-    else:
-        a = mha(p['self_attn'], x, x, x, num_heads=cfg.nhead, dropout_rate=drop, rng=r[0])
+    a = encoder_self_attention(p['self_attn'], x, cfg.nhead,
+                               dropout_rate=drop, rng=r[0])
     x = layer_norm(p['norm1'], x + dropout(a, drop, r[1]))
     h = _act(cfg)(linear(p['linear1'], x))
     h = linear(p['linear2'], dropout(h, drop, r[2]))

@@ -189,12 +189,36 @@ USE_KERNEL = False
 KERNEL_MIN_LEN = 192
 
 
-def encoder_self_attention(p, x, num_heads, *, use_kernel=None):
+import contextlib
+
+
+@contextlib.contextmanager
+def force_einsum():
+    """Temporarily route every encoder_self_attention through the einsum
+    path (experiments/bench A/Bs; replaces hand-rolled KERNEL_MIN_LEN
+    save/restore at call sites)."""
+    global KERNEL_MIN_LEN
+    old = KERNEL_MIN_LEN
+    KERNEL_MIN_LEN = 10 ** 9
+    try:
+        yield
+    finally:
+        KERNEL_MIN_LEN = old
+
+
+def encoder_self_attention(p, x, num_heads, *, use_kernel=None,
+                           dropout_rate=0.0, rng=None):
     """Drop-in fused replacement for layers.mha(p, x, x, x) with no mask.
 
-    Falls back to the einsum path on non-TPU backends.
+    Falls back to the einsum path on non-TPU backends, and — since the
+    pallas kernel does not implement attention-probability dropout (torch
+    MultiheadAttention training semantics) — whenever dropout is active.
     """
     from parseq_tpu.ops import layers
+
+    if dropout_rate > 0.0 and rng is not None:
+        return layers.mha(p, x, x, x, num_heads=num_heads,
+                          dropout_rate=dropout_rate, rng=rng)
 
     # Perf notes (v5e-1, PARSeq-S encoder, batch 256, pipelined ms/batch):
     #   separate q/k/v projections + einsum attention (this path)   20.4

@@ -132,10 +132,15 @@ def train(config: dict, work_dir: str, *, compute_dtype=jnp.bfloat16,
         raise ValueError(f'unknown trainer config key(s): '
                          f'{sorted(_unknown_trainer)}; accepted: '
                          f'{sorted(_known_trainer)}')
+    # Interpolated keys (reference main.yaml: data.img_size: ${model.img_size}
+    # etc.) honor an explicit data.* override, falling back to model.* —
+    # every key the guard above accepts is genuinely consumed here.
     dm = SceneTextDataModule(
         dcfg.get('root_dir', 'data'), dcfg.get('train_dir', 'real'),
-        mcfg['img_size'], mcfg['max_label_length'], mcfg['charset_train'],
-        mcfg.get('charset_test') or mcfg['charset_train'],
+        dcfg.get('img_size', mcfg['img_size']),
+        dcfg.get('max_label_length', mcfg['max_label_length']),
+        dcfg.get('charset_train', mcfg['charset_train']),
+        dcfg.get('charset_test') or mcfg.get('charset_test') or mcfg['charset_train'],
         dcfg.get('batch_size', mcfg.get('batch_size', 384)),
         dcfg.get('num_workers', 2), dcfg.get('augment', True),
         dcfg.get('remove_whitespace', True), dcfg.get('normalize_unicode', True),
