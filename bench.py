@@ -63,7 +63,10 @@ def wait_for_device(max_wait_s=5400, probe_timeout_s=90):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--batch_size', type=int, default=256)
+    # 384 is the measured throughput peak (round-5 sweep: 256 -> 12.6k,
+    # 384 -> 13.1k, 448+ falls off as the AR decode working set outgrows
+    # VMEM); see PERF.md "bench.py macro/batch sweep".
+    ap.add_argument('--batch_size', type=int, default=384)
     ap.add_argument('--iters', type=int, default=32)
     ap.add_argument('--trials', type=int, default=3)
     ap.add_argument('--no_wait', action='store_true')
